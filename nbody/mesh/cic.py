@@ -1,0 +1,133 @@
+"""Cloud-in-Cell mass assignment, window function, deconvolution, interlacing.
+
+Rebuilds the reference's five near-identical CIC implementations (component
+C6, SURVEY.md §2.1: numba-JIT per-particle scatter loops, e.g.
+`SnapVsPK/Power_compare.py:100-132`) the TPU way: the 8-corner trilinear
+scatter is a fully vectorized ``.at[].add`` over flattened cell indices —
+no host loop, differentiable, jittable, and shardable (each particle shard
+deposits to a local grid that is psum-reduced, SURVEY.md §5.8).
+
+Window/deconvolution follow `cic_window_ft`/`deconvolve_cic`
+(`SnapVsPK/Power_compare.py:80-97`): W(k) = prod_i sinc^2(k_i d / 2 pi) per
+CIC deposit; interlacing matches CONCEPT's second-grid half-cell shift
+(reference param `Giant.param` powerspec_options interlace).
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody.mesh.grids import kvecs
+
+
+@functools.partial(jax.jit, static_argnames=("nmesh",))
+def cic_deposit(pos, box, nmesh: int, weights=None, shift: float = 0.0):
+    """CIC deposit of particles onto an (nmesh,)*3 grid.
+
+    Returns the *mass-weighted count* grid (sum of weights = sum of particle
+    weights; each particle spreads trilinear weights over its 8 cells with
+    periodic wrap-around).  ``shift`` (in cells) offsets the grid origin —
+    used for interlacing.
+    """
+    dtype = pos.dtype
+    n = pos.shape[0]
+    if weights is None:
+        weights = jnp.ones((n,), dtype)
+    s = pos * (nmesh / box) - shift
+    i0 = jnp.floor(s)
+    f = s - i0                     # (n, 3) in [0, 1)
+    i0 = i0.astype(jnp.int32)
+
+    flat = jnp.zeros((nmesh * nmesh * nmesh,), dtype)
+    for dx, dy, dz in itertools.product((0, 1), repeat=3):
+        w = (
+            (f[:, 0] if dx else 1.0 - f[:, 0])
+            * (f[:, 1] if dy else 1.0 - f[:, 1])
+            * (f[:, 2] if dz else 1.0 - f[:, 2])
+            * weights
+        )
+        ix = jnp.mod(i0[:, 0] + dx, nmesh)
+        iy = jnp.mod(i0[:, 1] + dy, nmesh)
+        iz = jnp.mod(i0[:, 2] + dz, nmesh)
+        lin = (ix * nmesh + iy) * nmesh + iz
+        flat = flat.at[lin].add(w)
+    return flat.reshape((nmesh, nmesh, nmesh))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def cic_gather(grid, pos, box):
+    """Trilinear (CIC) interpolation of a grid field at particle positions —
+    the adjoint of cic_deposit; used by PM to read forces back."""
+    nmesh = grid.shape[0]
+    s = pos * (nmesh / box)
+    i0 = jnp.floor(s)
+    f = s - i0
+    i0 = i0.astype(jnp.int32)
+    flat = grid.reshape(-1)
+    out = jnp.zeros(pos.shape[:1], grid.dtype)
+    for dx, dy, dz in itertools.product((0, 1), repeat=3):
+        w = (
+            (f[:, 0] if dx else 1.0 - f[:, 0])
+            * (f[:, 1] if dy else 1.0 - f[:, 1])
+            * (f[:, 2] if dz else 1.0 - f[:, 2])
+        )
+        ix = jnp.mod(i0[:, 0] + dx, nmesh)
+        iy = jnp.mod(i0[:, 1] + dy, nmesh)
+        iz = jnp.mod(i0[:, 2] + dz, nmesh)
+        lin = (ix * nmesh + iy) * nmesh + iz
+        out = out + w * flat[lin]
+    return out
+
+
+def density_to_delta(count_grid, n_particles: int):
+    """Overdensity delta = rho/rho_mean - 1 from a CIC count grid
+    (the reference's `compute_delta`, `FraP_kTilDelta.py:126-127`)."""
+    mean = n_particles / count_grid.size
+    return count_grid / mean - 1.0
+
+
+def cic_window(nmesh: int, box: float, p: int = 2, dtype=jnp.float32):
+    """CIC Fourier window on the rfft grid: prod_i sinc(k_i d / 2 pi)^p.
+
+    p=2 matches the reference's deposit-only deconvolution
+    (`cic_window_ft`, `SnapVsPK/Power_compare.py:80-91`); p=4 additionally
+    corrects force interpolation (deposit + gather, the PM case).
+    """
+    d = box / nmesh
+    kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=dtype)
+
+    def sinc(k):
+        x = k * (d / (2.0 * np.pi))  # np.sinc convention: sin(pi x)/(pi x)
+        return jnp.sinc(x)
+
+    return (sinc(kx) * sinc(ky) * sinc(kz)) ** p
+
+
+def deconvolve(delta_k, nmesh: int, box: float, p: int = 2):
+    """Divide an rfft-layout field by the CIC window (zero-guarded)."""
+    W = cic_window(nmesh, box, p=p, dtype=delta_k.real.dtype)
+    return delta_k / jnp.maximum(W, 1e-8)
+
+
+@functools.partial(jax.jit, static_argnames=("nmesh",))
+def cic_deposit_interlaced_k(pos, box, nmesh: int, weights=None):
+    """Interlaced CIC deposit, returned in k-space (rfft layout).
+
+    Two grids offset by half a cell are combined in Fourier space with the
+    phase factor exp(i (kx+ky+kz) d/2), cancelling the leading aliasing
+    images — the "second interlacing pass" CONCEPT logs during its
+    powerspec measurements (SURVEY.md §2.2).
+    """
+    g0 = cic_deposit(pos, box, nmesh, weights=weights, shift=0.0)
+    g1 = cic_deposit(pos, box, nmesh, weights=weights, shift=0.5)
+    k0 = jnp.fft.rfftn(g0)
+    k1 = jnp.fft.rfftn(g1)
+    d = box / nmesh
+    kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=g0.dtype)
+    phase = jnp.exp(1j * ((kx + ky + kz) * (d / 2.0)).astype(k0.real.dtype))
+    return 0.5 * (k0 + k1 * phase)
