@@ -29,8 +29,13 @@ from nbody.mesh.grids import kvecs, lattice
 
 
 def _displacement_from_delta_k(delta_k, nmesh: int, box: float):
-    """psi_k = i k / k^2 delta_k -> three real displacement grids."""
-    kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=delta_k.real.dtype)
+    """psi_k = i k / k^2 delta_k -> three real displacement grids.
+
+    Gradient kernel with Nyquist planes zeroed (odd multiplier at the
+    self-conjugate Nyquist mode would break Hermitian symmetry)."""
+    kx, ky, kz = kvecs(
+        nmesh, box, rfft=True, dtype=delta_k.real.dtype, zero_nyquist=True
+    )
     k2 = kx**2 + ky**2 + kz**2
     inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
     shape = (nmesh,) * 3
@@ -43,7 +48,9 @@ def _displacement_from_delta_k(delta_k, nmesh: int, box: float):
 
 def _second_order_source_k(delta_k, nmesh: int, box: float):
     """rfftn of S = sum_{i<j} [phi,ii phi,jj - phi,ij^2], phi_k = -delta_k/k^2."""
-    kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=delta_k.real.dtype)
+    kx, ky, kz = kvecs(
+        nmesh, box, rfft=True, dtype=delta_k.real.dtype, zero_nyquist=True
+    )
     k2 = kx**2 + ky**2 + kz**2
     inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
     shape = (nmesh,) * 3

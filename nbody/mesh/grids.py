@@ -6,20 +6,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def kvecs(nmesh: int, box: float, rfft: bool = True, dtype=jnp.float32):
+def kvecs(
+    nmesh: int,
+    box: float,
+    rfft: bool = True,
+    dtype=jnp.float32,
+    zero_nyquist: bool = False,
+):
     """Angular wavevector component arrays for an nmesh^3 box of side
     ``box``: k_i = 2 pi n_i / box (the reference's convention,
     `SnapVsPK/Power_compare.py` k_vals = 2 pi fftfreq(N, d=L/N)).
 
     Returns (kx, ky, kz) broadcastable to the (r)fft grid shape.
+
+    ``zero_nyquist=True`` zeros the Nyquist-plane component — REQUIRED for
+    spectral differentiation kernels (i k_j): the Nyquist mode is its own
+    conjugate partner, so an odd multiplier there breaks the Hermitian
+    symmetry of a real field's spectrum and injects O(1) garbage whenever
+    the field has Nyquist power (e.g. CIC-deposited point masses).
     """
     two_pi = 2.0 * np.pi
-    k1 = jnp.asarray(np.fft.fftfreq(nmesh, d=box / nmesh) * two_pi, dtype)
-    kz = (
-        jnp.asarray(np.fft.rfftfreq(nmesh, d=box / nmesh) * two_pi, dtype)
-        if rfft
-        else k1
-    )
+    k1 = np.fft.fftfreq(nmesh, d=box / nmesh) * two_pi
+    kzl = np.fft.rfftfreq(nmesh, d=box / nmesh) * two_pi if rfft else k1.copy()
+    if zero_nyquist and nmesh % 2 == 0:
+        k1 = k1.copy()
+        k1[nmesh // 2] = 0.0
+        kzl[-1 if rfft else nmesh // 2] = 0.0
+    k1 = jnp.asarray(k1, dtype)
+    kz = jnp.asarray(kzl, dtype)
     return (
         k1[:, None, None],
         k1[None, :, None],

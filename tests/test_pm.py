@@ -1,0 +1,139 @@
+"""PM / P3M solver physics tests, mirroring the reference's PP/PM/P3M
+accuracy study (`PPPMP3M/pppmp3mplotter.py`; SURVEY.md §4.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody.core.cosmology import Cosmology
+from nbody.forces.p3m import p3m_acc, p3m_short_acc, p3m_short_direct
+from nbody.forces.pm import pm_acc, make_pm_cosmo_force
+from nbody.ic.gaussian import GRFSpec
+from nbody.ic.zeldovich import lpt_ic
+from nbody.integrate.cosmo_stepping import log_a_steps, run_cosmological
+from nbody.mesh.cic import cic_deposit, density_to_delta
+from nbody.mesh.grids import lattice
+from nbody.mesh.spectrum import power_spectrum
+
+
+def test_pm_uniform_lattice_zero_force():
+    pos = lattice(8, 100.0, dtype=jnp.float64)
+    mass = jnp.ones(512, jnp.float64)
+    acc = pm_acc(pos, mass, 100.0, 8)
+    np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-10)
+
+
+def test_pm_pair_force_matches_newton():
+    """Two particles at r << L: PM force ~ G m / r^2 within mesh error
+    (averaged over sub-cell offsets; single placements carry ~5% CIC
+    anisotropy, exactly the error the reference's PM study quantifies)."""
+    box, nmesh = 1000.0, 64
+    cell = box / nmesh
+    G = 1.0
+    r = 100.0  # ~6.4 cells apart, well inside the box
+    rng = np.random.default_rng(1)
+    newton = G / r**2
+    vals = []
+    for _ in range(8):
+        off = rng.uniform(0, cell, 3)
+        pos = jnp.asarray(
+            np.array(
+                [[500.0 - r / 2, 500.0, 500.0], [500.0 + r / 2, 500.0, 500.0]]
+            )
+            + off
+        )
+        mass = jnp.array([1.0, 1.0], jnp.float64)
+        acc = np.asarray(pm_acc(pos, mass, box, nmesh, G=G))
+        # attraction along +x for particle 0, Newton's third law
+        assert acc[0, 0] > 0 and acc[1, 0] < 0
+        np.testing.assert_allclose(acc[0, 0], -acc[1, 0], rtol=1e-6)
+        vals.append(acc[0, 0])
+    np.testing.assert_allclose(np.mean(vals), newton, rtol=0.04)
+
+
+def test_p3m_short_pallas_matches_direct():
+    rng = np.random.default_rng(0)
+    n, box = 300, 50.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)))
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n))
+    eps, r_s, r_cut = 0.05, 2.0, 9.0
+    a_ref = p3m_short_direct(pos, mass, box, eps, r_s, r_cut)
+    a_pal = p3m_short_acc(pos, mass, box, eps, r_s, r_cut, ti=128, tj=128)
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref), atol=1e-9)
+
+
+def test_p3m_pair_force_more_accurate_than_pm_below_mesh():
+    """At sub-cell separations PM underestimates the force badly; the P3M
+    short-range correction must restore Newton to ~%."""
+    box, nmesh = 256.0, 32  # cell = 8
+    G = 1.0
+    r = 4.0  # half a cell
+    pos = jnp.array(
+        [[128.0 - r / 2, 128.0, 128.0], [128.0 + r / 2, 128.0, 128.0]],
+        jnp.float64,
+    )
+    mass = jnp.array([1.0, 1.0], jnp.float64)
+    newton = G / r**2
+    acc_pm = np.asarray(pm_acc(pos, mass, box, nmesh, G=G))
+    acc_p3m = np.asarray(p3m_acc(pos, mass, box, nmesh, G=G, eps=1e-3))
+    err_pm = abs(acc_pm[0, 0] - newton) / newton
+    err_p3m = abs(acc_p3m[0, 0] - newton) / newton
+    assert err_p3m < 0.02, (err_pm, err_p3m)
+    assert err_p3m < err_pm / 5
+
+
+def test_p3m_beyond_cutoff_is_pure_far_field():
+    """Beyond r_cut the short-range sum vanishes exactly and the filtered
+    far field alone lands near Newton."""
+    from nbody.forces.p3m import p3m_short_acc
+
+    box, nmesh = 256.0, 32
+    cell = box / nmesh
+    r_s, r_cut = 1.25 * cell, 4.5 * 1.25 * cell
+    r = 64.0  # > r_cut = 56.25
+    pos = jnp.array(
+        [[128.0 - r / 2, 128.0, 128.0], [128.0 + r / 2, 128.0, 128.0]],
+        jnp.float64,
+    )
+    mass = jnp.array([1.0, 1.0], jnp.float64)
+    acc_short = np.asarray(
+        p3m_short_acc(pos, mass, box, 1e-3, r_s, r_cut, ti=128, tj=128)
+    )
+    np.testing.assert_allclose(acc_short, 0.0, atol=1e-15)
+    acc_p3m = np.asarray(p3m_acc(pos, mass, box, nmesh, eps=1e-3))
+    newton = 1.0 / r**2
+    np.testing.assert_allclose(acc_p3m[0, 0], newton, rtol=0.10)
+
+
+@pytest.mark.slow
+def test_linear_growth_end_to_end():
+    """The headline physics oracle: Zel'dovich ICs at a=0.02 evolved with
+    the PM solver to a=0.25 must grow P(k) by (D(0.25)/D(0.02))^2 on
+    linear scales (the reference's P(k)-vs-CLASS check, SURVEY.md §4.1)."""
+    cosmo = Cosmology()
+    nmesh, box = 32, 1500.0  # large box -> very linear modes
+    a0, a1 = 0.02, 0.25
+    spec = GRFSpec(nmesh=nmesh, box=box)
+    state = lpt_ic(
+        jax.random.key(42), spec, cosmo.linear_power, cosmo, a0, order=1
+    )
+    state = state.astype(jnp.float64)
+    acc_fn = make_pm_cosmo_force(cosmo, box, nmesh)
+    a_grid = log_a_steps(a0, a1, 64)
+    final = run_cosmological(state, cosmo, a_grid, acc_fn, box)
+
+    def measured_pk(st):
+        grid = cic_deposit(st.pos, box, nmesh)
+        delta = density_to_delta(grid, nmesh**3)
+        return power_spectrum(delta, box, n_bins=12, deconvolve_p=1)
+
+    res0 = measured_pk(state)
+    res1 = measured_pk(final)
+    growth = float(cosmo.growth_D(a1) / cosmo.growth_D(a0)) ** 2
+    k = np.asarray(res0.k)
+    nm = np.asarray(res0.n_modes)
+    good = (nm > 30) & (k < 0.35 * np.pi * nmesh / box)
+    ratio = np.asarray(res1.power)[good] / np.asarray(res0.power)[good]
+    # stochastic single realization: agree with linear growth to 20%
+    np.testing.assert_allclose(ratio.mean() / growth, 1.0, atol=0.2)
