@@ -1,0 +1,177 @@
+"""Multi-chip scaling: shard_map ring all-pairs and sharded PM.
+
+This is the TPU-native replacement for the MPI domain decomposition the
+reference gets from CONCEPT ("MPI layout: Node 0", "Domain decomposition:
+1x1x1" in its run logs; launcher `-n` flag `SnapVsPK/Ucertain.py:89`;
+SURVEY.md §2.3 and §5.8).  Instead of spatial domains + ghost exchange,
+particles are block-sharded over a 1-D ``jax.sharding.Mesh`` axis and the
+O(N^2) force is computed ring-attention-style (SURVEY.md §5.7):
+
+  each device holds N/D targets; the (pos, mass) source block rotates
+  around the ring via ``ppermute`` D times; every hop each device
+  accumulates the partial force of its resident targets against the
+  visiting sources with the Pallas tiled kernel.  After D hops every
+  target has seen every source — no psum needed for the force itself
+  (it is fully local); collectives appear only in scalar diagnostics.
+
+The sharded PM path deposits each shard's particles to a local grid,
+``psum``s the grids (one all-reduce of nmesh^3 values over ICI), runs the
+replicated FFT Poisson solve, and gathers forces locally.
+
+Communication volume per force evaluation: ring PP moves 4 N floats per
+device total (same as ring attention's K/V blocks); PM moves one grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from nbody.core.types import ParticleState
+from nbody.forces.pallas_pp import block_acc_pallas
+from nbody.forces.allpairs import _pair_terms
+from nbody.mesh.cic import cic_deposit, cic_gather, cic_window
+from nbody.forces.pm import gradient_kernel
+from nbody.mesh.grids import kvecs
+
+
+def device_mesh(n_devices: int | None = None, axis_name: str = "shard") -> Mesh:
+    """A 1-D mesh over the first n (default: all) devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), axis_names=(axis_name,))
+
+
+def shard_state(state: ParticleState, mesh: Mesh, axis_name: str = "shard") -> ParticleState:
+    """Place a ParticleState with particles block-sharded over the mesh.
+
+    N must be divisible by the axis size (pad upstream if needed — ICs in
+    this framework produce power-of-two or nmesh^3 counts).
+    """
+    d = mesh.shape[axis_name]
+    if state.n % d:
+        raise ValueError(f"N={state.n} not divisible by {d} devices")
+    sharded = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    return ParticleState(
+        pos=jax.device_put(state.pos, sharded),
+        vel=jax.device_put(state.vel, sharded),
+        mass=jax.device_put(state.mass, sharded),
+        time=jax.device_put(state.time, repl),
+    )
+
+
+def make_ring_acc_fn(
+    mesh: Mesh,
+    eps: float,
+    G: float = 1.0,
+    axis_name: str = "shard",
+    use_pallas: bool | None = None,
+) -> Callable:
+    """Build acc_fn(pos, mass) -> (acc, phi) running the ring exchange.
+
+    The returned function is a shard_map program: call it under jit with
+    block-sharded (N,3)/(N,) inputs (see shard_state); outputs carry the
+    same sharding.  Composes with nbody.integrate.run / run_with_diagnostics
+    unchanged — the whole simulation including the ring stays in one XLA
+    program.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n_dev = mesh.shape[axis_name]
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    eps2 = float(eps) ** 2
+
+    def local_block(pos_i, pos_j, mass_j):
+        if use_pallas:
+            return block_acc_pallas(pos_i, pos_j, mass_j, eps)
+        return _pair_terms(pos_i, pos_j, mass_j, jnp.asarray(eps2, pos_i.dtype))
+
+    def ring(pos_l, mass_l):
+        # pos_l: (n_loc, 3) local block
+        def body(carry, _):
+            pj, mj, acc, pot = carry
+            a, p = local_block(pos_l, pj, mj)
+            pj = jax.lax.ppermute(pj, axis_name, perm)
+            mj = jax.lax.ppermute(mj, axis_name, perm)
+            return (pj, mj, acc + a, pot + p), None
+
+        acc0 = jnp.zeros_like(pos_l)
+        pot0 = jnp.zeros(pos_l.shape[:1], pos_l.dtype)
+        (_, _, acc, pot), _ = jax.lax.scan(
+            body, (pos_l, mass_l, acc0, pot0), None, length=n_dev
+        )
+        # strip the self-pair potential (eps > 0: zero force, m/eps pot)
+        phi = -G * (pot - mass_l * (eps2**-0.5))
+        return G * acc, phi
+
+    return _shard_map(
+        ring,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+
+
+def make_sharded_pm_cosmo_force(
+    cosmo,
+    box: float,
+    nmesh: int,
+    mesh: Mesh,
+    axis_name: str = "shard",
+    deconvolve_p: int = 2,
+    grad_order: str = "fd4",
+) -> Callable:
+    """Sharded comoving PM force: local CIC deposit -> psum(grid) ->
+    replicated FFT Poisson -> local gather.
+
+    g(pos, mass, a) = -grad phi,  lap phi = (3/2) Om H0^2 delta / a.
+    Inputs block-sharded like make_ring_acc_fn; the psum of the deposit
+    grid is the single collective per evaluation (the analogue of
+    CONCEPT's FFTW-MPI transpose exchange).
+    """
+    base = 1.5 * cosmo.Omega_m * cosmo.H0**2
+
+    def local(pos_l, mass_l, a):
+        dtype = pos_l.dtype
+        grid = cic_deposit(pos_l, box, nmesh, weights=mass_l)
+        grid = jax.lax.psum(grid, axis_name)
+        total_mass = jax.lax.psum(jnp.sum(mass_l), axis_name)
+        mean = total_mass / nmesh**3
+        delta_k = jnp.fft.rfftn(grid) / mean
+        if deconvolve_p:
+            W = cic_window(nmesh, box, p=deconvolve_p, dtype=dtype)
+            delta_k = delta_k / jnp.maximum(W, 1e-8)
+        kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=dtype)
+        k2 = kx**2 + ky**2 + kz**2
+        inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+        amp = base / a
+        phi_k = -amp * delta_k * inv_k2
+        gx, gy, gz = gradient_kernel(nmesh, box, grad_order, dtype)
+        shape = (nmesh,) * 3
+        acc = [
+            cic_gather(jnp.fft.irfftn(-1j * gj * phi_k, s=shape), pos_l, box)
+            for gj in (gx, gy, gz)
+        ]
+        return jnp.stack(acc, axis=-1)
+
+    return _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P()),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )

@@ -134,6 +134,56 @@ def allpairs_pallas(
     return acc, phi
 
 
+@functools.partial(
+    jax.jit, static_argnames=("eps", "ti", "tj", "interpret")
+)
+def block_acc_pallas(
+    pos_i,
+    pos_j,
+    mass_j,
+    eps: float,
+    *,
+    ti: int = 1024,
+    tj: int = 1024,
+    interpret: bool | None = None,
+):
+    """Raw cross-block accumulation: targets i against sources (j, m_j).
+
+    Returns (acc_raw (Ni,3), pot_raw (Ni,)) WITHOUT the G factor and
+    WITHOUT self-term removal: acc_raw = sum_j m_j d / (r^2+eps^2)^1.5,
+    pot_raw = sum_j m_j / sqrt(r^2+eps^2).  This is the building block the
+    distributed ring exchange accumulates across devices
+    (nbody.distributed.sharding); the caller applies G / self-term once.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ni_, nj_ = pos_i.shape[0], pos_j.shape[0]
+    dtype = pos_i.dtype
+    ti = min(ti, max(128, ni_))
+    tj = min(tj, max(128, nj_))
+    nip = -(-ni_ // ti) * ti
+    njp = -(-nj_ // tj) * tj
+
+    pi = jnp.zeros((4, nip), dtype).at[:3, :ni_].set(pos_i.T)
+    pj = jnp.zeros((4, njp), dtype).at[:3, :nj_].set(pos_j.T)
+    pj = pj.at[3, :nj_].set(mass_j)
+
+    out = pl.pallas_call(
+        functools.partial(_pp_kernel, eps2=float(eps) ** 2),
+        grid=(nip // ti, njp // tj),
+        in_specs=[
+            pl.BlockSpec((4, ti), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, ti), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, nip), dtype),
+        interpret=interpret,
+    )(pi, pj)
+    return out[:3, :ni_].T, out[3, :ni_]
+
+
 def interactions_per_call(n: int, ti: int = 1024, tj: int = 1024) -> int:
     """Pairwise interactions evaluated by one allpairs_pallas call
     (including padding work — what the hardware actually executes)."""
