@@ -1,0 +1,205 @@
+"""Command-line interface: ``python -m nbody.driver.cli <subcommand>``.
+
+Subcommand parity with the reference's entry points (SURVEY.md §3):
+  simulate  — one run (the role of `Ucertain.py single` + CONCEPT exec)
+  ensemble  — seeded many-run driver (`Ucertain.py ensemble`,
+              `NeuNetværk_test.py`)
+  measure   — P(k) from existing HDF5 snapshots
+              (`SnapVsPK/Power_compare.py`, `FraP_kTilDelta.py`)
+  train     — emulator training/eval (`TheFeedingPipeline/Cosmo NN5.py`)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_sim_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", help="JSON config file (overridden by flags)")
+    p.add_argument("--box", type=float, help="box size [Mpc]")
+    p.add_argument("--n-side", type=int, help="particles per dimension")
+    p.add_argument("--pm-grid", type=int, help="PM mesh per dimension")
+    p.add_argument("--solver", choices=("pp", "pm", "p3m"))
+    p.add_argument("--a-begin", type=float)
+    p.add_argument("--a-end", type=float)
+    p.add_argument("--n-steps", type=int)
+    p.add_argument("--lpt-order", type=int, choices=(1, 2))
+    p.add_argument("--A-s", type=float, dest="A_s")
+    p.add_argument("--n-s", type=float, dest="n_s")
+    p.add_argument("--omega-cdm", type=float)
+    p.add_argument("--h", type=float)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _config_from_args(args) -> "SimulationConfig":
+    from nbody.driver.config import SimulationConfig
+
+    cfg = (
+        SimulationConfig.load(args.config)
+        if getattr(args, "config", None)
+        else SimulationConfig()
+    )
+    for flag in (
+        "box", "n_side", "pm_grid", "solver", "a_begin", "a_end",
+        "n_steps", "lpt_order", "A_s", "n_s", "omega_cdm", "h",
+    ):
+        v = getattr(args, flag, None)
+        if v is not None:
+            cfg = cfg.replace(**{flag: v})
+    return cfg
+
+
+def cmd_simulate(args) -> int:
+    from nbody.driver.simulate import run_simulation
+
+    cfg = _config_from_args(args)
+    res = run_simulation(cfg, seed=args.seed, workdir=args.output)
+    print(
+        json.dumps(
+            {
+                "solver": cfg.solver,
+                "n_particles": cfg.n_particles,
+                "steps": cfg.n_steps,
+                "wall_s": round(res.wall_s, 3),
+                "snapshots": res.snapshots,
+                "powerspecs": res.powerspecs,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_ensemble(args) -> int:
+    from nbody.driver.ensemble import draw_A_s, run_ensemble
+
+    cfg = _config_from_args(args)
+    A_s_values = None
+    if args.vary_A_s:
+        A_s_values = draw_A_s(
+            args.total_samples,
+            center=cfg.A_s,
+            width=args.A_s_width,
+            draw_seed=args.draw_seed,
+        )
+    res = run_ensemble(
+        cfg,
+        args.total_samples,
+        workdir=args.output,
+        master_seed=args.seed,
+        A_s_values=A_s_values,
+        max_retries=args.max_retries,
+        resume=not args.no_resume,
+        split_name=args.split_name,
+    )
+    print(
+        json.dumps(
+            {
+                "n": args.total_samples,
+                "failed": res.failed,
+                "skipped": res.skipped,
+                "wall_s": round(res.wall_s, 3),
+                "workdir": args.output,
+            }
+        )
+    )
+    return 1 if res.failed else 0
+
+
+def cmd_measure(args) -> int:
+    import numpy as np
+
+    from nbody.driver.config import SimulationConfig
+    from nbody.driver.simulate import measure_powerspec
+    from nbody.io.snapshot import find_hdf5_files, read_snapshot
+
+    paths = []
+    for target in args.snapshots:
+        if os.path.isdir(target):
+            paths.extend(find_hdf5_files(target))
+        else:
+            paths.append(target)
+    if not paths:
+        print("no snapshots found", file=sys.stderr)
+        return 1
+    from nbody.core import units
+
+    for p in paths:
+        state, meta = read_snapshot(p)
+        n_side = max(2, round(state.n ** (1 / 3)))
+        h = meta.H0 / units.H100_GYR if meta.H0 else 0.67
+        cfg = SimulationConfig(
+            box=meta.boxsize or args.box,
+            n_side=n_side,
+            pm_grid=args.nmesh or 0,
+            h=h,
+            omega_cdm=meta.Omega_cdm * h**2 if meta.Omega_cdm else 0.12,
+            omega_b=meta.Omega_b * h**2 if meta.Omega_b else 0.022,
+        )
+        out = (
+            os.path.join(
+                args.output or os.path.dirname(p),
+                os.path.basename(p).replace("snapshot_", "powerspec_").replace(".hdf5", ""),
+            )
+        )
+        k, modes, P, Pc, Pl = measure_powerspec(
+            np.asarray(state.pos), cfg, a=meta.a, path=out
+        )
+        print(json.dumps({"snapshot": p, "powerspec": out, "bins": int(len(k))}))
+    return 0
+
+
+def cmd_train(args) -> int:
+    from nbody.emulator.train import train_from_cli
+
+    return train_from_cli(args)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="nbody", description="TPU-native cosmological N-body framework"
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("simulate", help="run one simulation")
+    _add_sim_args(p)
+    p.add_argument("--output", default="output", help="run directory")
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("ensemble", help="run a seeded ensemble")
+    _add_sim_args(p)
+    p.add_argument("--total-samples", type=int, required=True)
+    p.add_argument("--output", default="ensemble", help="ensemble root dir")
+    p.add_argument("--vary-A-s", action="store_true", dest="vary_A_s")
+    p.add_argument("--A-s-width", type=float, default=0.6e-9, dest="A_s_width")
+    p.add_argument("--draw-seed", type=int, default=420)
+    p.add_argument("--max-retries", type=int, default=3)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--split-name", default="Training")
+    p.set_defaults(fn=cmd_ensemble)
+
+    p = sub.add_parser("measure", help="P(k) from HDF5 snapshots")
+    p.add_argument("snapshots", nargs="+", help="snapshot files or dirs")
+    p.add_argument("--nmesh", type=int, default=0)
+    p.add_argument("--box", type=float, default=500.0, help="fallback box size")
+    p.add_argument("--output", help="output dir (default: next to snapshot)")
+    p.set_defaults(fn=cmd_measure)
+
+    p = sub.add_parser("train", help="train the CNN emulator")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=4e-3)
+    p.add_argument("--uq", choices=("MC", "nlll", "bayesian"), default="MC")
+    p.add_argument("--output", default="emulator_out")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,141 @@
+"""Typed simulation configuration.
+
+One dataclass replaces the reference's four config mechanisms (SURVEY.md
+§5.6): CONCEPT ``.param`` DSL files (`Different_Sizes/Giant.param`),
+regex-surgery templating (`SnapVsPK/Ucertain.py:22-67`), plain-text
+sidecars, and argparse constants.  The config serialises to JSON next to
+every run's outputs, so a run directory is self-describing.
+
+Field defaults mirror the reference's P3M NN pipeline setup
+(`TheFeedingPipeline/NN.param`: 32^3 particles, 500 Mpc box via
+BoxParams.txt, a_begin=0.02, P3M gravity) — its CONCEPT run takes 34 s for
+142 steps on a desktop (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Sequence
+
+from nbody.core.cosmology import Cosmology
+
+SOLVERS = ("pp", "pm", "p3m")
+
+
+@dataclasses.dataclass(frozen=True)
+class OutputConfig:
+    """What to write, and where."""
+
+    dir: str = "output"
+    snapshot_times: Sequence[float] = (1.0,)  # scale factors a
+    powerspec: bool = True
+    powerspec_bins: int = 48
+    snapshot: bool = True
+
+    def replace(self, **kw) -> "OutputConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationConfig:
+    # -- cosmology (the parameters the reference's emulator varies) --------
+    h: float = 0.67
+    omega_b: float = 0.022
+    omega_cdm: float = 0.12
+    A_s: float = 2.1e-9
+    n_s: float = 0.965
+
+    # -- box / discretisation ----------------------------------------------
+    box: float = 500.0  # Mpc
+    n_side: int = 32  # particles per dimension (N = n_side^3)
+    pm_grid: int = 0  # PM mesh per dim; 0 -> 2*n_side (CONCEPT's
+    # 'gridsize': 2*_size, reference `Different_Sizes/Giant.param`)
+
+    # -- solver -------------------------------------------------------------
+    solver: str = "p3m"  # 'pp' | 'pm' | 'p3m' (the reference trichotomy,
+    # `Different_Sizes/Giant.param:66-68`)
+    softening_frac: float = 0.03  # eps = frac * (box / n_side)
+    deconvolve_p: int = 2
+    interlace: bool = False
+
+    # -- time stepping -------------------------------------------------------
+    a_begin: float = 0.02
+    a_end: float = 1.0
+    n_steps: int = 142  # CONCEPT's typical count for a=0.02->1 (SURVEY §6)
+
+    # -- initial conditions ---------------------------------------------------
+    lpt_order: int = 1  # 1 (Zel'dovich) or 2 (2LPT)
+    transfer: str = "eh"  # 'eh' | 'bbks' | path to a tabulated P(k)
+
+    # -- output ---------------------------------------------------------------
+    output: OutputConfig = dataclasses.field(default_factory=OutputConfig)
+
+    def __post_init__(self):
+        if self.solver not in SOLVERS:
+            raise ValueError(f"solver must be one of {SOLVERS}, got {self.solver!r}")
+        if self.lpt_order not in (1, 2):
+            raise ValueError(f"lpt_order must be 1 or 2, got {self.lpt_order}")
+
+    # -- derived -------------------------------------------------------------
+    @property
+    def n_particles(self) -> int:
+        return self.n_side**3
+
+    @property
+    def eps(self) -> float:
+        """Plummer softening length in Mpc."""
+        return self.softening_frac * self.box / self.n_side
+
+    @property
+    def mesh_size(self) -> int:
+        return self.pm_grid if self.pm_grid > 0 else 2 * self.n_side
+
+    def cosmology(self) -> Cosmology:
+        return Cosmology(
+            h=self.h,
+            omega_b=self.omega_b,
+            omega_cdm=self.omega_cdm,
+            A_s=self.A_s,
+            n_s=self.n_s,
+        )
+
+    def power_fn(self):
+        """Linear P(k, a=1) callable for the IC realizer."""
+        cosmo = self.cosmology()
+        if self.transfer in ("eh", "bbks"):
+            transfer = self.transfer
+            return lambda k: cosmo.linear_power(k, a=1.0, transfer=transfer)
+        from nbody.core.cosmology import TabulatedPowerSpectrum
+
+        return TabulatedPowerSpectrum.from_file(self.transfer)
+
+    def replace(self, **kw) -> "SimulationConfig":
+        return dataclasses.replace(self, **kw)
+
+    # -- (de)serialisation -----------------------------------------------------
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["output"]["snapshot_times"] = list(self.output.snapshot_times)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SimulationConfig":
+        d = dict(d)
+        out = d.pop("output", {})
+        if isinstance(out, dict):
+            out.setdefault("snapshot_times", (1.0,))
+            out["snapshot_times"] = tuple(out["snapshot_times"])
+            out = OutputConfig(**out)
+        return cls(output=out, **d)
+
+    def save(self, path) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, sort_keys=True)
+
+    @classmethod
+    def load(cls, path) -> "SimulationConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

@@ -93,3 +93,21 @@ def direct_acc_chunked(pos, mass, eps: float = 0.0, G: float = 1.0, chunk: int =
         pot = pot - mass / jnp.asarray(eps, pos.dtype)  # strip self-term
     pot = -G * mass * pot
     return acc, 0.5 * jnp.sum(pot)
+
+
+def direct_acc_periodic(pos, mass, box: float, eps: float = 0.0, G: float = 1.0):
+    """Dense all-pairs acceleration with periodic minimum-image separations.
+
+    Nearest-image only (no Ewald sum) — the oracle for the periodic Pallas
+    kernel (``allpairs_pallas(..., box=L)``) used by the cosmological PP
+    solver.  O(N^2) memory.
+    """
+    n = pos.shape[0]
+    d = pos[None, :, :] - pos[:, None, :]
+    d = d - box * jnp.round(d / box)
+    r2 = jnp.sum(d * d, axis=-1) + jnp.asarray(eps, pos.dtype) ** 2
+    eye = jnp.eye(n, dtype=bool)
+    r2 = jnp.where(eye, 1.0, r2)
+    inv_r3 = jnp.where(eye, 0.0, r2 ** (-1.5))
+    w = mass[None, :] * inv_r3
+    return G * jnp.einsum("ij,ijk->ik", w, d)

@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pp_kernel(pi_ref, pj_ref, out_ref, *, eps2: float):
+def _pp_kernel(pi_ref, pj_ref, out_ref, *, eps2: float, box: float = 0.0):
     j = pl.program_id(1)
 
     xi = pi_ref[0, :][:, None]   # (TI, 1)
@@ -45,6 +45,11 @@ def _pp_kernel(pi_ref, pj_ref, out_ref, *, eps2: float):
     dx = xj - xi                 # (TI, TJ)
     dy = yj - yi
     dz = zj - zi
+    if box > 0.0:  # periodic minimum image (static branch, VPU-only cost)
+        inv_box = 1.0 / box
+        dx = dx - box * jnp.round(dx * inv_box)
+        dy = dy - box * jnp.round(dy * inv_box)
+        dz = dz - box * jnp.round(dz * inv_box)
     r2 = dx * dx + dy * dy + dz * dz + eps2
     inv_r = jax.lax.rsqrt(r2)
     mw = mj * inv_r              # m_j / r       -> potential term
@@ -66,7 +71,7 @@ def _pp_kernel(pi_ref, pj_ref, out_ref, *, eps2: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "G", "ti", "tj", "interpret")
+    jax.jit, static_argnames=("eps", "G", "ti", "tj", "interpret", "box")
 )
 def allpairs_pallas(
     pos,
@@ -77,6 +82,7 @@ def allpairs_pallas(
     ti: int = 1024,
     tj: int = 1024,
     interpret: bool | None = None,
+    box: float = 0.0,
 ):
     """All-pairs softened gravity via the tiled Pallas kernel.
 
@@ -88,6 +94,9 @@ def allpairs_pallas(
       ti, tj: tile sizes (multiples of 128 for lane alignment).
       interpret: run the kernel in interpreter mode (auto-True off-TPU so
         the same code path is testable on a CPU host).
+      box: if > 0, apply periodic minimum-image separations (cosmological
+        PP; nearest image only — no Ewald sum, use P3M for sub-percent
+        periodic accuracy).
 
     Returns:
       acc: (N, 3) accelerations.
@@ -111,7 +120,7 @@ def allpairs_pallas(
 
     eps2 = float(eps) ** 2
     out = pl.pallas_call(
-        functools.partial(_pp_kernel, eps2=eps2),
+        functools.partial(_pp_kernel, eps2=eps2, box=float(box)),
         grid=(ni, nj),
         in_specs=[
             pl.BlockSpec((4, ti), lambda i, j: (0, i), memory_space=pltpu.VMEM),

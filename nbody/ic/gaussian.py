@@ -47,17 +47,21 @@ def white_noise_k(key, nmesh: int, dtype=jnp.float32):
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "power"))
-def gaussian_delta_k(key, spec: GRFSpec, power: Callable):
+def gaussian_delta_k(key, spec: GRFSpec, power: Callable, amplitude=1.0):
     """delta(k) on the rfft grid for the given isotropic power spectrum.
 
     ``power(k)`` maps |k| (1/length) to P(k) (length^3). Returns complex
     rfft-layout delta_k in the 'grid' measurement convention (or 'fac').
+    ``amplitude`` is a *traced* multiplier on P(k) — ensembles that vary
+    only the primordial amplitude A_s (the reference's NN-data pipeline,
+    `TheFeedingPipeline/NeuNetværk_test.py:100-101`) pass
+    A_s/A_s_reference here and reuse one compiled program for every member.
     """
     nmesh, box = spec.nmesh, spec.box
     wk = white_noise_k(key, nmesh)
     km = kmag(nmesh, box, rfft=True, dtype=wk.real.dtype)
     V = box**3
-    amp2 = power(km) * (nmesh**3 / V)
+    amp2 = amplitude * power(km) * (nmesh**3 / V)
     if spec.convention == "fac":
         amp2 = amp2 * (2.0 * np.pi)
     amp = jnp.sqrt(jnp.maximum(amp2, 0.0))
@@ -65,8 +69,8 @@ def gaussian_delta_k(key, spec: GRFSpec, power: Callable):
     return wk * amp
 
 
-def gaussian_field(key, spec: GRFSpec, power: Callable):
+def gaussian_field(key, spec: GRFSpec, power: Callable, amplitude=1.0):
     """Real-space delta(x) realization, shape (nmesh,)*3."""
     return jnp.fft.irfftn(
-        gaussian_delta_k(key, spec, power), s=(spec.nmesh,) * 3
+        gaussian_delta_k(key, spec, power, amplitude), s=(spec.nmesh,) * 3
     )

@@ -77,6 +77,7 @@ def lpt_ic(
     a_init: float,
     order: int = 1,
     particle_mass: float | None = None,
+    amplitude=1.0,
 ) -> ParticleState:
     """Cosmological ICs: lattice + LPT displacement at scale factor a_init.
 
@@ -88,12 +89,14 @@ def lpt_ic(
       order: 1 (Zel'dovich) or 2 (2LPT).
       particle_mass: per-particle mass; default gives the box's matter
         mass density rho_crit * Omega_m (cosmo units: 1e10 Msun).
+      amplitude: traced P(k) multiplier (A_s/A_s_ref for amplitude-only
+        ensembles — avoids one recompile per member).
 
     Returns ParticleState with comoving pos, canonical momentum
     p = a^2 dx/dt = a^2 H f D psi (per 1LPT growing mode), time = a_init.
     """
     nmesh, box = spec.nmesh, spec.box
-    delta1_k = gaussian_delta_k(key, spec, power)  # at a=1
+    delta1_k = gaussian_delta_k(key, spec, power, amplitude)  # at a=1
     D1 = cosmo.growth_D(a_init)
     f1 = cosmo.growth_f(a_init)
     H = cosmo.H(a_init)

@@ -1,0 +1,165 @@
+"""Driver-layer tests: config round-trips, runs, ensemble resume/retry, CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nbody.driver import (
+    SimulationConfig,
+    find_missing_jobs,
+    run_ensemble,
+    run_simulation,
+)
+from nbody.driver.config import OutputConfig
+from nbody.driver.ensemble import draw_A_s, make_seeds
+from nbody.driver.simulate import realize_ics
+from nbody.io import read_powerspec, read_snapshot
+
+TINY = SimulationConfig(
+    n_side=8,
+    box=200.0,
+    solver="pm",
+    pm_grid=16,
+    n_steps=4,
+    output=OutputConfig(snapshot_times=(1.0,), powerspec_bins=8),
+)
+
+
+class TestConfig:
+    def test_roundtrip(self, tmp_path):
+        cfg = TINY.replace(solver="p3m", A_s=1.9e-9)
+        p = str(tmp_path / "config.json")
+        cfg.save(p)
+        assert SimulationConfig.load(p) == cfg
+
+    def test_derived(self):
+        assert TINY.n_particles == 512
+        assert TINY.mesh_size == 16
+        assert abs(TINY.eps - 0.03 * 200.0 / 8) < 1e-12
+        assert SimulationConfig(n_side=32, pm_grid=0).mesh_size == 64
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            SimulationConfig(solver="tree")
+        with pytest.raises(ValueError):
+            SimulationConfig(lpt_order=3)
+
+
+class TestRealizeICs:
+    def test_amplitude_path_matches_direct(self):
+        """ICs via base-config traced amplitude == ICs with A_s baked in."""
+        cfg = TINY.replace(A_s=4 * TINY.A_s)
+        direct = realize_ics(cfg, seed=7)
+        via_base = realize_ics(cfg, seed=7, base=TINY)
+        np.testing.assert_allclose(
+            np.asarray(direct.pos), np.asarray(via_base.pos), rtol=2e-5,
+            atol=1e-5 * TINY.box,
+        )
+        np.testing.assert_allclose(
+            np.asarray(direct.vel), np.asarray(via_base.vel), rtol=2e-5, atol=1e-8
+        )
+
+    def test_amplitude_scaling(self):
+        """P proportional to A_s -> displacements scale by sqrt(ratio)."""
+        from nbody.mesh.grids import lattice
+
+        base = realize_ics(TINY, seed=3)
+        quad = realize_ics(TINY.replace(A_s=4 * TINY.A_s), seed=3, base=TINY)
+        q = np.asarray(lattice(TINY.n_side, TINY.box, dtype=base.pos.dtype))
+
+        def disp(st):
+            d = np.asarray(st.pos) - q
+            return d - TINY.box * np.round(d / TINY.box)
+
+        np.testing.assert_allclose(disp(quad), 2.0 * disp(base), rtol=1e-4, atol=1e-6)
+
+    def test_base_mismatch_rejected(self):
+        with pytest.raises(ValueError):
+            realize_ics(TINY.replace(n_s=0.9), seed=0, base=TINY)
+
+
+class TestRunSimulation:
+    @pytest.mark.parametrize("solver", ["pm", "p3m", "pp"])
+    def test_solvers_end_to_end(self, tmp_path, solver):
+        cfg = TINY.replace(solver=solver)
+        res = run_simulation(cfg, seed=1, workdir=str(tmp_path))
+        assert os.path.exists(os.path.join(tmp_path, "config.json"))
+        st, meta = read_snapshot(res.snapshots[-1])
+        assert st.n == 512
+        assert np.isfinite(np.asarray(st.pos)).all()
+        assert np.asarray(st.pos).max() <= meta.boxsize
+        t = read_powerspec(res.powerspecs[-1])
+        assert (t.P[t.modes > 0] >= 0).all()
+        assert t.P_linear is not None
+
+    def test_resume_from_state(self, tmp_path):
+        half = TINY.replace(a_end=0.5, n_steps=2, output=TINY.output.replace(snapshot=False, powerspec=False))
+        r1 = run_simulation(half, seed=2, workdir=str(tmp_path / "a"))
+        cont = TINY.replace(a_begin=0.5, n_steps=2)
+        r2 = run_simulation(cont, seed=2, workdir=str(tmp_path / "b"), initial_state=r1.state)
+        assert float(r2.state.time) == pytest.approx(1.0)
+
+
+class TestEnsemble:
+    def test_resume_and_sidecars(self, tmp_path):
+        root = str(tmp_path / "ens")
+        A_s = draw_A_s(2, draw_seed=420)
+        res = run_ensemble(TINY, 2, workdir=root, A_s_values=A_s)
+        assert res.failed == [] and res.skipped == []
+        assert os.path.exists(os.path.join(root, "BoxParams.txt"))
+        assert os.path.exists(os.path.join(root, "MaxMinParams.txt"))
+        labels = np.loadtxt(os.path.join(root, "TrainingParams.txt"), skiprows=1)
+        np.testing.assert_allclose(labels[:, 0], A_s)
+        assert find_missing_jobs(root, TINY, res.params) == []
+        # second pass: everything resumes-by-skip
+        res2 = run_ensemble(TINY, 2, workdir=root, A_s_values=A_s)
+        assert res2.skipped == [0, 1]
+
+    def test_missing_detection(self, tmp_path):
+        root = str(tmp_path / "ens")
+        res = run_ensemble(TINY, 1, workdir=root)
+        snap = os.path.join(res.run_dirs[0], "snapshots", "snapshot_a=1.00.hdf5")
+        os.remove(snap)
+        assert find_missing_jobs(root, TINY, res.params) == [0]
+
+    def test_seeds_deterministic(self):
+        np.testing.assert_array_equal(make_seeds(5, 123), make_seeds(5, 123))
+        assert not np.array_equal(make_seeds(5, 123), make_seeds(5, 124))
+
+
+class TestCLI:
+    def test_simulate_and_measure(self, tmp_path, capsys):
+        from nbody.driver.cli import main
+
+        out = str(tmp_path / "run")
+        rc = main(
+            [
+                "simulate", "--n-side", "8", "--pm-grid", "16", "--box", "200",
+                "--solver", "pm", "--n-steps", "4", "--output", out,
+            ]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert info["n_particles"] == 512
+
+        rc = main(["measure", out, "--nmesh", "16", "--output", str(tmp_path / "ps")])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        ps = json.loads(lines[-1])["powerspec"]
+        assert os.path.exists(ps)
+        assert read_powerspec(ps).k.size > 0
+
+    def test_config_file_plus_override(self, tmp_path, capsys):
+        from nbody.driver.cli import main
+
+        cfgp = str(tmp_path / "c.json")
+        TINY.save(cfgp)
+        rc = main(
+            ["simulate", "--config", cfgp, "--solver", "p3m",
+             "--output", str(tmp_path / "o")]
+        )
+        assert rc == 0
+        saved = SimulationConfig.load(str(tmp_path / "o" / "config.json"))
+        assert saved.solver == "p3m" and saved.n_side == 8
