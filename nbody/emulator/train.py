@@ -1,0 +1,394 @@
+"""Emulator training, evaluation with UQ, and hyperparameter sweeps.
+
+Rebuilds (SURVEY.md §2): C25 `fit_model` (`Cosmo NN5.py:416-461` — Adam,
+best-val checkpointing, optional ReduceLROnPlateau / EarlyStopping with
+patience=100 from epoch 300), C26 `test_og_plot_models` (`:463-578` — 50
+stochastic forward passes per test volume, epistemic/aleatoric split,
+rescale by parameter maxima, coverage + deviation metrics) and C27 grid
+sweeps (`:580-702`).
+
+TPU-first: the whole train step (forward, loss, backward, Adam update) is
+one jitted function; the reference's 50 sequential `model(batch_R,
+training=True)` python calls become ONE vmapped jitted evaluation over MC
+keys, so dropout sampling parallelises on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from nbody.emulator.data import DeltaDataset
+from nbody.emulator.model import (
+    KL_COLLECTION,
+    CosmoCNN,
+    abs_percent_deviation,
+    gaussian_nll,
+    mse_loss,
+    sigma_coverage,
+)
+
+
+def _kl_sum(aux) -> jnp.ndarray:
+    terms = jax.tree_util.tree_leaves(aux.get(KL_COLLECTION, {}))
+    return sum(terms, jnp.asarray(0.0)) if terms else jnp.asarray(0.0)
+
+
+def _apply(model, params, x, key, deterministic):
+    rngs = {}
+    if key is not None:
+        kd, ks = jax.random.split(key)
+        rngs = {"dropout": kd, "sample": ks}
+    if model.variational:
+        pred, aux = model.apply(
+            {"params": params}, x, deterministic=deterministic,
+            rngs=rngs, mutable=[KL_COLLECTION],
+        )
+        return pred, _kl_sum(aux)
+    pred = model.apply(
+        {"params": params}, x, deterministic=deterministic, rngs=rngs
+    )
+    return pred, jnp.asarray(0.0)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: dict
+    best_val_loss: float
+    best_epoch: int
+    history: dict  # {'train_loss': [...], 'val_loss': [...], 'lr': [...]}
+    wall_s: float
+
+
+def fit(
+    model: CosmoCNN,
+    train_ds: DeltaDataset,
+    val_ds: DeltaDataset,
+    epochs: int = 1000,
+    batch_size: int = 16,
+    lr: float = 4e-3,
+    seed: int = 0,
+    augment: bool = True,
+    kl_weight: float | None = None,
+    early_stop_patience: int | None = None,
+    early_stop_start: int = 300,
+    reduce_lr_patience: int | None = None,
+    reduce_lr_factor: float = 0.5,
+    min_lr: float = 1e-5,
+    checkpoint_path: str | None = None,
+    verbose: bool = False,
+) -> TrainResult:
+    """Train with Adam; keep the best-val-loss parameters (the reference's
+    `ModelCheckpoint(save_best_only, weights_only)` + reload-after-fit,
+    `Cosmo NN5.py:439,459`).  Defaults epochs=1000, bs=16, lr=4e-3 match
+    `Feeder_pipe.py:20-22`; early-stop patience/start and the
+    plateau-LR schedule mirror `fit_model`'s optional callbacks.
+    """
+    t0 = time.perf_counter()
+    loss_fn = gaussian_nll if model.heteroscedastic else mse_loss
+    if kl_weight is None:
+        kl_weight = 1.0 / max(len(train_ds), 1)  # tfp kl_weight=1/len(y_train)
+
+    key = jax.random.key(seed)
+    key, kinit = jax.random.split(key)
+    x0 = jnp.zeros((1, train_ds.dim, train_ds.dim, train_ds.dim), jnp.float32)
+    variables = model.init(
+        {"params": kinit, "dropout": kinit, "sample": kinit},
+        x0, deterministic=True,
+    )
+    params = variables["params"]
+
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, x, y, k):
+        def loss(p):
+            pred, kl = _apply(model, p, x, k, deterministic=False)
+            return loss_fn(pred, y) + kl_weight * kl
+
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, val
+
+    @jax.jit
+    def eval_step(params, x, y, k):
+        pred, kl = _apply(
+            model, params, x, k, deterministic=not model.variational
+        )
+        return loss_fn(pred, y) + kl_weight * kl
+
+    history = {"train_loss": [], "val_loss": [], "lr": []}
+    best_val, best_epoch = float("inf"), -1
+    best_params = params
+    bad_epochs = plateau_epochs = 0
+    cur_lr = lr
+
+    for epoch in range(epochs):
+        key, ke, kv = jax.random.split(key, 3)
+        losses = []
+        for x, y in train_ds.batches(
+            batch_size, key=ke, shuffle=True, augment=augment, seed=epoch
+        ):
+            key, kb = jax.random.split(key)
+            params, opt_state, lval = train_step(params, opt_state, x, y, kb)
+            losses.append(lval)
+        vlosses = [
+            eval_step(params, x, y, kv)
+            for x, y in val_ds.batches(
+                batch_size, shuffle=False, augment=False, drop_remainder=False
+            )
+        ]
+        tl = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        vl = float(jnp.mean(jnp.stack(vlosses))) if vlosses else tl
+        history["train_loss"].append(tl)
+        history["val_loss"].append(vl)
+        history["lr"].append(cur_lr)
+        if verbose and epoch % 50 == 0:
+            print(f"epoch {epoch}: train {tl:.5f} val {vl:.5f} lr {cur_lr:.2e}")
+
+        if vl < best_val:
+            best_val, best_epoch, best_params = vl, epoch, params
+            bad_epochs = plateau_epochs = 0
+        else:
+            bad_epochs += 1
+            plateau_epochs += 1
+        if (
+            reduce_lr_patience
+            and plateau_epochs >= reduce_lr_patience
+            and cur_lr > min_lr
+        ):
+            cur_lr = max(cur_lr * reduce_lr_factor, min_lr)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(cur_lr)
+            plateau_epochs = 0
+        if (
+            early_stop_patience
+            and epoch >= early_stop_start
+            and bad_epochs >= early_stop_patience
+        ):
+            break
+
+    if checkpoint_path:
+        save_params(checkpoint_path, best_params)
+    return TrainResult(
+        params=best_params,
+        best_val_loss=best_val,
+        best_epoch=best_epoch,
+        history=history,
+        wall_s=time.perf_counter() - t0,
+    )
+
+
+def save_params(path: str, params) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(path: str, model: CosmoCNN, dim: int):
+    x0 = jnp.zeros((1, dim, dim, dim), jnp.float32)
+    k = jax.random.key(0)
+    template = model.init(
+        {"params": k, "dropout": k, "sample": k}, x0, deterministic=True
+    )["params"]
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+# --------------------------------------------------------------------------
+# C26: evaluation with uncertainty quantification
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EvalResult:
+    mu: np.ndarray  # (M, P) rescaled predictions
+    sigma_epistemic: np.ndarray
+    sigma_aleatoric: np.ndarray | None
+    sigma_total: np.ndarray
+    y_true: np.ndarray  # (M, P) rescaled truths
+    coverage: np.ndarray  # (P, 3) fraction within 1/2/3 sigma
+    abs_dev_percent: np.ndarray  # (P,)
+
+    def to_json(self) -> dict:
+        return {
+            "coverage": self.coverage.tolist(),
+            "abs_dev_percent": self.abs_dev_percent.tolist(),
+            "n_test": int(len(self.mu)),
+        }
+
+
+def evaluate_uq(
+    model: CosmoCNN,
+    params,
+    test_ds: DeltaDataset,
+    n_mc: int = 50,
+    seed: int = 0,
+    batch_size: int = 16,
+) -> EvalResult:
+    """MC-stochastic evaluation: n_mc forward passes per volume in ONE
+    vmapped jitted call (the reference repeats the batch 50x through
+    `model(batch_R, training=True)`, `Cosmo NN5.py:488-522`).
+
+    Epistemic = std over stochastic passes of mu; aleatoric (NLL head) =
+    mean predicted sigma; total = quadrature sum.  Outputs are rescaled by
+    the per-parameter maxima (`:527-539`).
+    """
+
+    @jax.jit
+    def mc_eval(params, x, keys):
+        def one(k):
+            pred, _ = _apply(model, params, x, k, deterministic=False)
+            return pred
+
+        return jax.vmap(one)(keys)  # (S, B, width)
+
+    keys = jax.random.split(jax.random.key(seed), n_mc)
+    mus, epis, aleas, ys = [], [], [], []
+    for x, y in test_ds.batches(
+        batch_size, shuffle=False, augment=False, drop_remainder=False
+    ):
+        preds = mc_eval(params, x, keys)  # (S, B, width)
+        mu_s, sig_s = model.split_prediction(preds)
+        mus.append(np.asarray(jnp.mean(mu_s, axis=0)))
+        epis.append(np.asarray(jnp.std(mu_s, axis=0)))
+        aleas.append(
+            np.asarray(jnp.mean(sig_s, axis=0)) if sig_s is not None else None
+        )
+        ys.append(np.asarray(y))
+
+    mu = np.concatenate(mus)
+    epi = np.concatenate(epis)
+    alea = np.concatenate(aleas) if aleas[0] is not None else None
+    y = np.concatenate(ys)
+
+    # rescale normalised outputs back to physical values (`:527-539`)
+    p = mu.shape[1]
+    maxima = np.asarray(test_ds.maxima, dtype=np.float64)
+    if maxima.shape[0] != p:  # test labels may be 3-wide; select varying
+        keep = [j for j, f in enumerate(test_ds.vary_flags) if f][:p]
+        y = y[:, keep]
+        maxima_sel = maxima[keep]
+    else:
+        maxima_sel = maxima
+    mu = mu * maxima_sel
+    epi = epi * maxima_sel
+    y = y[:, :p] * maxima_sel
+    total = epi.copy()
+    if alea is not None:
+        alea = alea * maxima_sel
+        total = np.sqrt(epi**2 + alea**2)
+
+    cov = np.stack(
+        [
+            np.asarray(
+                sigma_coverage(
+                    jnp.asarray(y[:, j]), jnp.asarray(mu[:, j]), jnp.asarray(total[:, j])
+                )
+            )
+            for j in range(p)
+        ]
+    )
+    dev = np.array(
+        [
+            float(abs_percent_deviation(jnp.asarray(y[:, j]), jnp.asarray(mu[:, j])))
+            for j in range(p)
+        ]
+    )
+    return EvalResult(
+        mu=mu, sigma_epistemic=epi, sigma_aleatoric=alea, sigma_total=total,
+        y_true=y, coverage=cov, abs_dev_percent=dev,
+    )
+
+
+# --------------------------------------------------------------------------
+# C27: hyperparameter sweeps
+# --------------------------------------------------------------------------
+
+
+def run_sweep(
+    model_kw: dict,
+    train_ds: DeltaDataset,
+    val_ds: DeltaDataset,
+    test_ds: DeltaDataset,
+    batch_sizes=(16,),
+    lrs=(4e-3,),
+    epochs_list=(100,),
+    out_dir: str | None = None,
+    seed: int = 0,
+) -> dict:
+    """Grid sweep over (batch_size, lr, epochs) saving deviation / time /
+    coverage arrays — the reference's `mk_bs_lr_tests` family
+    (`Cosmo NN5.py:580-702`)."""
+    shape = (len(batch_sizes), len(lrs), len(epochs_list))
+    A_dev = np.zeros(shape)
+    times = np.zeros(shape)
+    coverage1 = np.zeros(shape)
+    for i, bs in enumerate(batch_sizes):
+        for j, lr in enumerate(lrs):
+            for k, ep in enumerate(epochs_list):
+                model = CosmoCNN(**model_kw)
+                res = fit(
+                    model, train_ds, val_ds, epochs=ep, batch_size=bs,
+                    lr=lr, seed=seed,
+                )
+                ev = evaluate_uq(model, res.params, test_ds, n_mc=20, seed=seed)
+                A_dev[i, j, k] = ev.abs_dev_percent[0]
+                times[i, j, k] = res.wall_s
+                coverage1[i, j, k] = ev.coverage[0, 0]
+    out = {"A_dev": A_dev, "times": times, "coverage1": coverage1}
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        for name, arr in out.items():
+            np.save(os.path.join(out_dir, f"sweep_{name}.npy"), arr)
+    return out
+
+
+# --------------------------------------------------------------------------
+# CLI entry (wired from nbody.driver.cli train)
+# --------------------------------------------------------------------------
+
+
+def train_from_cli(args) -> int:
+    train_ds = DeltaDataset.from_directory(args.data_dir, "train")
+    val_ds = DeltaDataset.from_directory(args.data_dir, "val")
+    try:
+        test_ds = DeltaDataset.from_directory(args.data_dir, "test")
+    except FileNotFoundError:
+        test_ds = None
+
+    n_out = train_ds.y.shape[1]
+    model = CosmoCNN(
+        n_out=n_out,
+        heteroscedastic=args.uq == "nlll",
+        variational=args.uq == "bayesian",
+    )
+    res = fit(
+        model, train_ds, val_ds,
+        epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        seed=args.seed,
+        checkpoint_path=os.path.join(args.output, "params.msgpack"),
+    )
+    info = {
+        "uq": args.uq,
+        "best_val_loss": res.best_val_loss,
+        "best_epoch": res.best_epoch,
+        "epochs_run": len(res.history["train_loss"]),
+        "wall_s": round(res.wall_s, 2),
+    }
+    if test_ds is not None:
+        ev = evaluate_uq(model, res.params, test_ds, seed=args.seed)
+        info["test"] = ev.to_json()
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "train_result.json"), "w") as f:
+        json.dump(info | {"history": res.history}, f, indent=2)
+    print(json.dumps(info))
+    return 0
