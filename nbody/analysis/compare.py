@@ -1,0 +1,207 @@
+"""Solver/resolution/LPT comparison studies + runtime parsing.
+
+Rebuilds the reference's quantitative accuracy machinery:
+  - `parse_runtime` (`PPPMP3M/pppmp3mplotter.py:24-58`, component C12):
+    "2 days, 23:27:37" / "4:18 min" / "12.1 s" -> seconds.
+  - relative P(k) error vs linear theory masked to k <= k_Nyquist with a
+    per-solver mean (`pppmp3mplotter.py:145-161`).
+  - PP/PM/P3M comparison figure (`:163-176`), 1LPT-vs-2LPT comparison
+    (`1LPTvs2LPT/1vs2tlptplotter.py:160-204`), and the grid-size
+    convergence study (`Different_Sizes/Plotter.py:207-291`).
+
+Figures here run the solvers *in-process* (each run is one jitted
+program) instead of scraping pre-existing CONCEPT output directories.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# C12: runtime parsing
+# --------------------------------------------------------------------------
+
+
+def parse_runtime(s: str) -> float:
+    """'2 days, 23:27:37' | '4:18 min' | '12.1 s' -> seconds
+    (reference `parse_runtime`, `pppmp3mplotter.py:24-58`)."""
+    s = s.strip().lower()
+    days, rest = 0, s
+    m = re.match(r"(\d+)\s*day", s)
+    if m:
+        days = int(m.group(1))
+        rest = s.split(",", 1)[1] if "," in s else "0:0:0"
+    rest = rest.strip()
+    if "min" in rest:
+        mm_ss = rest.split("min")[0].strip()
+        if ":" in mm_ss:
+            mins, secs = map(float, mm_ss.split(":"))
+        else:
+            mins, secs = float(mm_ss), 0.0
+        return days * 86400 + mins * 60 + secs
+    if ":" in rest:
+        parts = list(map(float, rest.split(":")))
+        while len(parts) < 3:
+            parts.insert(0, 0.0)
+        h, mins, secs = parts
+        return days * 86400 + h * 3600 + mins * 60 + secs
+    if "s" in rest:
+        return days * 86400 + float(rest.split("s")[0])
+    raise ValueError(f"unparseable runtime: {s!r}")
+
+
+# --------------------------------------------------------------------------
+# Accuracy metrics
+# --------------------------------------------------------------------------
+
+
+def nyquist_k(nmesh: int, box: float) -> float:
+    """k_Ny = pi * N / L — the validity boundary every reference figure
+    marks (`CiC/3D startbetingelser1.py:321-348`)."""
+    return np.pi * nmesh / box
+
+
+def relative_error(k, P, k_theory, P_theory, k_max=None):
+    """|P - P_th| / P_th on P's k-grid, theory interpolated, masked to
+    k <= k_max (`pppmp3mplotter.py:152-158`).  Returns (k_masked, rel)."""
+    k = np.asarray(k, dtype=np.float64)
+    P = np.asarray(P, dtype=np.float64)
+    mask = np.ones_like(k, dtype=bool) if k_max is None else k <= k_max
+    Pi = np.interp(k[mask], np.asarray(k_theory), np.asarray(P_theory))
+    return k[mask], np.abs(P[mask] - Pi) / Pi
+
+
+def mean_relative_error(k, P, k_theory, P_theory, k_max=None) -> float:
+    """The reference's per-solver scalar accuracy (`:158-161`)."""
+    _, rel = relative_error(k, P, k_theory, P_theory, k_max)
+    return float(rel.mean()) if rel.size else float("nan")
+
+
+# --------------------------------------------------------------------------
+# Comparison studies
+# --------------------------------------------------------------------------
+
+
+def _run_and_measure(config, seed, workdir):
+    from nbody.driver.simulate import measure_powerspec, run_simulation
+
+    t0 = time.perf_counter()
+    res = run_simulation(
+        config.replace(output=config.output.replace(snapshot=False, powerspec=False)),
+        seed=seed,
+        workdir=workdir or "",
+    )
+    wall = time.perf_counter() - t0
+    k, modes, P, Pc, Pl = measure_powerspec(
+        res.state.pos, config, a=config.a_end
+    )
+    return {"k": k, "P": Pc, "P_raw": P, "P_linear": Pl, "modes": modes, "wall_s": wall}
+
+
+def compare_solver_spectra(
+    config, solvers=("pp", "pm", "p3m"), seed: int = 0, fig_path: str | None = None
+) -> dict:
+    """Run the same realization through each solver; return per-solver
+    spectra + mean relative error vs linear theory + runtimes — the
+    PP/PM/P3M accuracy-vs-cost study (`pppmp3mplotter.py`).
+
+    The reference's version of this took 2d23h (PP), 4:18min (P3M) and
+    12.1s (PM) on a desktop for N=64^3 (SURVEY.md §6).
+    """
+    k_ny = nyquist_k(config.mesh_size, config.box)
+    out = {}
+    for solver in solvers:
+        r = _run_and_measure(config.replace(solver=solver), seed, None)
+        r["mean_rel_err"] = mean_relative_error(
+            r["k"], r["P"], r["k"], r["P_linear"], k_max=k_ny
+        )
+        out[solver] = r
+    if fig_path:
+        _solver_figure(out, config, k_ny, fig_path)
+    return out
+
+
+def _solver_figure(results, config, k_ny, fig_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 5))
+    markers = {"pp": "o", "pm": "s", "p3m": "^"}
+    ref = next(iter(results.values()))
+    ax1.loglog(ref["k"], ref["P_linear"], "k-", lw=1.5, label="linear theory")
+    for name, r in results.items():
+        ax1.scatter(r["k"], r["P"], s=12, marker=markers.get(name, "x"),
+                    label=f"{name} (err {r['mean_rel_err']:.2%})")
+        ax2.bar(name, r["wall_s"])
+    ax1.axvline(k_ny, ls="--", color="grey", label="Nyquist")
+    ax1.set(xlabel=r"$k$ [Mpc$^{-1}$]", ylabel=r"$P(k)$ [Mpc$^3$]",
+            title=f"$N={config.n_side}^3$, $L={config.box:g}$ Mpc")
+    ax1.legend()
+    ax2.set(ylabel="wall time [s]", title="cost")
+    fig.tight_layout()
+    fig.savefig(fig_path, dpi=120)
+    plt.close(fig)
+
+
+def lpt_comparison(
+    config, seed: int = 0, fig_path: str | None = None
+) -> dict:
+    """1LPT vs 2LPT initial spectra + evolved spectra — the
+    `1LPTvs2LPT/1vs2tlptplotter.py` study."""
+    out = {}
+    for order in (1, 2):
+        r = _run_and_measure(config.replace(lpt_order=order), seed, None)
+        out[f"{order}lpt"] = r
+    if fig_path:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 5))
+        ref = out["1lpt"]
+        ax.loglog(ref["k"], ref["P_linear"], "k-", lw=1.5, label="linear")
+        for name, r in out.items():
+            ax.scatter(r["k"], r["P"], s=12, label=name)
+        ax.axvline(nyquist_k(config.mesh_size, config.box), ls="--", color="grey")
+        ax.set(xlabel=r"$k$ [Mpc$^{-1}$]", ylabel=r"$P(k)$ [Mpc$^3$]")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(fig_path, dpi=120)
+        plt.close(fig)
+    return out
+
+
+def resolution_study(
+    config, n_sides=(16, 32, 64), seed: int = 0, fig_path: str | None = None
+) -> dict:
+    """P(k) across particle/grid resolutions at fixed box — the
+    `Different_Sizes` scaling study (`Plotter.py:207-291`)."""
+    out = {}
+    for n in n_sides:
+        r = _run_and_measure(config.replace(n_side=n, pm_grid=0), seed, None)
+        r["k_ny"] = nyquist_k(2 * n, config.box)
+        out[n] = r
+    if fig_path:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 5))
+        ref = out[max(n_sides)]
+        ax.loglog(ref["k"], ref["P_linear"], "k-", lw=1.5, label="linear")
+        for n, r in out.items():
+            ax.scatter(r["k"], r["P"], s=10, label=f"$N={n}^3$")
+        ax.set(xlabel=r"$k$ [Mpc$^{-1}$]", ylabel=r"$P(k)$ [Mpc$^3$]")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(fig_path, dpi=120)
+        plt.close(fig)
+    return out

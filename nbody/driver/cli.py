@@ -56,7 +56,13 @@ def cmd_simulate(args) -> int:
     from nbody.driver.simulate import run_simulation
 
     cfg = _config_from_args(args)
-    res = run_simulation(cfg, seed=args.seed, workdir=args.output)
+    res = run_simulation(
+        cfg,
+        seed=args.seed,
+        workdir=args.output,
+        checkpoint_every_steps=getattr(args, "checkpoint_every", 0) or None,
+        resume=getattr(args, "resume", False),
+    )
     print(
         json.dumps(
             {
@@ -151,6 +157,28 @@ def cmd_measure(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    from nbody.driver.pipeline import PipelineConfig, main_pipeline
+
+    cfg = PipelineConfig(
+        box=args.box,
+        n_side=args.n_side,
+        n_trainval=args.n_trainval,
+        n_test=args.n_test,
+        n_steps=args.n_steps,
+        solver=args.solver,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        uq=args.uq,
+        experiments=tuple(args.experiments),
+        master_seed=args.seed,
+    )
+    results = main_pipeline(cfg, args.data_dir)
+    print(json.dumps(results))
+    return 0
+
+
 def cmd_train(args) -> int:
     from nbody.emulator.train import train_from_cli
 
@@ -166,6 +194,14 @@ def main(argv=None) -> int:
     p = sub.add_parser("simulate", help="run one simulation")
     _add_sim_args(p)
     p.add_argument("--output", default="output", help="run directory")
+    p.add_argument(
+        "--checkpoint-every", type=int, default=0,
+        help="autosave checkpoint every N steps (0 = off)",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume from the run dir's autosave checkpoint if present",
+    )
     p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("ensemble", help="run a seeded ensemble")
@@ -186,6 +222,27 @@ def main(argv=None) -> int:
     p.add_argument("--box", type=float, default=500.0, help="fallback box size")
     p.add_argument("--output", help="output dir (default: next to snapshot)")
     p.set_defaults(fn=cmd_measure)
+
+    p = sub.add_parser(
+        "pipeline", help="full data->simulate->ETL->train->eval chain"
+    )
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--n-side", type=int, default=32)
+    p.add_argument("--box", type=float, default=500.0)
+    p.add_argument("--n-trainval", type=int, default=200)
+    p.add_argument("--n-test", type=int, default=100)
+    p.add_argument("--n-steps", type=int, default=142)
+    p.add_argument("--solver", choices=("pp", "pm", "p3m"), default="p3m")
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=4e-3)
+    p.add_argument("--uq", choices=("MC", "nlll", "bayesian"), default="MC")
+    p.add_argument(
+        "--experiments", nargs="+", default=["CLASS2SIM", "SIM3"],
+        choices=["CLASS2SIM", "SIM3"],
+    )
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_pipeline)
 
     p = sub.add_parser("train", help="train the CNN emulator")
     p.add_argument("--data-dir", required=True)

@@ -170,55 +170,79 @@ def run_simulation(
     workdir: str | None = None,
     base: SimulationConfig | None = None,
     initial_state: ParticleState | None = None,
+    checkpoint_every_steps: int | None = None,
+    resume: bool = False,
 ) -> SimulationResult:
     """Run one full simulation: ICs at a_begin -> KDK to a_end.
 
     Snapshots/powerspecs are written at ``config.output.snapshot_times``
     (scale factors snapped onto the log-a step grid).  ``workdir`` defaults
-    to ``config.output.dir``; pass ``initial_state`` to resume/continue an
+    to ``config.output.dir``; pass ``initial_state`` to continue an
     existing state instead of realizing ICs.
+
+    ``checkpoint_every_steps`` writes an atomic autosave checkpoint every
+    k steps (the role of CONCEPT's ``autosave_interval=6*hr``,
+    `Different_Sizes/Giant.param:17`); ``resume=True`` picks up from the
+    workdir's autosave bit-exactly if one exists.
     """
+    from nbody.io.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
     t0 = time.perf_counter()
     cosmo = config.cosmology()
     acc_fn = build_cosmo_force(config)
-    state = (
-        initial_state
-        if initial_state is not None
-        else realize_ics(config, seed, base=base)
-    )
 
     a_grid = log_a_steps(config.a_begin, config.a_end, config.n_steps)
     # snap requested output times onto grid points (CONCEPT adjusts its
     # step sizes instead; log-spacing makes nearest-point error < 2%/step)
-    out_times = sorted(
+    out_idx = sorted(
         {
-            float(a_grid[int(np.argmin(np.abs(a_grid - a)))])
+            int(np.argmin(np.abs(a_grid - a)))
             for a in config.output.snapshot_times
             if config.a_begin < a <= config.a_end
         }
     )
+    out_idx = [i for i in out_idx if i > 0]
 
     workdir = workdir if workdir is not None else config.output.dir
     snapshots, powerspecs = [], []
     if workdir:
         config.save(os.path.join(workdir, "config.json"))
 
-    segments = []
-    prev = 0
-    for a_out in out_times:
-        idx = int(np.argmin(np.abs(a_grid - a_out)))
-        if idx > prev:
-            segments.append((a_grid[prev : idx + 1], True))
-            prev = idx
-    if prev < len(a_grid) - 1:
-        segments.append((a_grid[prev:], False))
+    start_idx = 0
+    state = None
+    if resume and workdir:
+        ckpt = latest_checkpoint(workdir)
+        if ckpt is not None:
+            state, extra = load_checkpoint(ckpt)
+            start_idx = int(extra["grid_index"])
+    if state is None:
+        state = (
+            initial_state
+            if initial_state is not None
+            else realize_ics(config, seed, base=base)
+        )
+
+    # segment boundaries: output times + checkpoint cadence
+    bounds = set(out_idx) | {len(a_grid) - 1}
+    if checkpoint_every_steps:
+        bounds |= set(
+            range(checkpoint_every_steps, len(a_grid) - 1, checkpoint_every_steps)
+        )
+    bounds = sorted(i for i in bounds if i > start_idx)
 
     meta_of = lambda a: SnapshotMeta.from_cosmology(cosmo, config.box, a=a)
     with AsyncSnapshotWriter() as writer:
-        for seg, is_output in segments:
-            state = run_cosmological(state, cosmo, seg, acc_fn, config.box)
-            if is_output and workdir:
-                a = float(seg[-1])
+        prev = start_idx
+        for idx in bounds:
+            state = run_cosmological(
+                state, cosmo, a_grid[prev : idx + 1], acc_fn, config.box
+            )
+            if idx in out_idx and workdir:
+                a = float(a_grid[idx])
                 tag = f"a={a:.2f}"
                 if config.output.snapshot:
                     spath = os.path.join(workdir, "snapshots", f"snapshot_{tag}.hdf5")
@@ -228,6 +252,13 @@ def run_simulation(
                     ppath = os.path.join(workdir, "powerspec", f"powerspec_{tag}")
                     measure_powerspec(state.pos, config, a, path=ppath)
                     powerspecs.append(ppath)
+            if checkpoint_every_steps and workdir and idx < len(a_grid) - 1:
+                save_checkpoint(
+                    os.path.join(workdir, "autosave", "checkpoint.npz"),
+                    state,
+                    {"grid_index": idx, "seed": seed, "a": float(a_grid[idx])},
+                )
+            prev = idx
 
     return SimulationResult(
         state=state,

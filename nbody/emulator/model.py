@@ -96,6 +96,16 @@ class Conv3DVariational(nn.Module):
 # --------------------------------------------------------------------------
 
 
+def max_conv_blocks(n: int) -> int:
+    """How many Conv3D(3^3, VALID)+MaxPool(2^3) blocks an n^3 volume
+    supports before the spatial size hits zero."""
+    blocks = 0
+    while (n - 2) // 2 >= 1:
+        n = (n - 2) // 2
+        blocks += 1
+    return blocks
+
+
 class CosmoCNN(nn.Module):
     """delta(x) volume -> cosmological parameter regression.
 
@@ -121,6 +131,12 @@ class CosmoCNN(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         if x.ndim == 4:
             x = x[..., None]  # (B, N, N, N) -> NDHWC
+        if max_conv_blocks(x.shape[1]) < self.n_conv:
+            raise ValueError(
+                f"n_conv={self.n_conv} collapses a {x.shape[1]}^3 volume to "
+                f"zero size (VALID conv + 2x pool); max is "
+                f"{max_conv_blocks(x.shape[1])}"
+            )
         for _ in range(self.n_conv):
             if self.variational:
                 x = Conv3DVariational(self.filters)(x)

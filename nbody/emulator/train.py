@@ -365,9 +365,12 @@ def train_from_cli(args) -> int:
     except FileNotFoundError:
         test_ds = None
 
+    from nbody.emulator.model import max_conv_blocks
+
     n_out = train_ds.y.shape[1]
     model = CosmoCNN(
         n_out=n_out,
+        n_conv=min(2, max_conv_blocks(train_ds.dim)),
         heteroscedastic=args.uq == "nlll",
         variational=args.uq == "bayesian",
     )

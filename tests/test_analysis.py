@@ -1,0 +1,88 @@
+"""Analysis-layer tests: runtime parsing (C12), accuracy metrics, studies."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nbody.analysis import (
+    compare_solver_spectra,
+    lpt_comparison,
+    mean_relative_error,
+    nyquist_k,
+    parse_runtime,
+    relative_error,
+    resolution_study,
+)
+from nbody.driver import SimulationConfig
+from nbody.driver.config import OutputConfig
+
+TINY = SimulationConfig(
+    n_side=8, box=200.0, pm_grid=16, n_steps=3,
+    output=OutputConfig(powerspec_bins=10),
+)
+
+
+class TestParseRuntime:
+    def test_reference_formats(self):
+        # the reference's exact runtime table (`pppmp3mplotter.py:18-22`)
+        assert parse_runtime("2 days, 23:27:37") == pytest.approx(
+            2 * 86400 + 23 * 3600 + 27 * 60 + 37
+        )
+        assert parse_runtime("12.1 s") == pytest.approx(12.1)
+        assert parse_runtime("4:18 min") == pytest.approx(4 * 60 + 18)
+
+    def test_more_formats(self):
+        assert parse_runtime("90 s") == 90
+        assert parse_runtime("5 min") == 300
+        assert parse_runtime("01:02:03") == 3723
+        assert parse_runtime("2:03") == 123
+        with pytest.raises(ValueError):
+            parse_runtime("whenever")
+
+
+class TestMetrics:
+    def test_relative_error(self):
+        k = np.array([0.1, 0.2, 0.3, 0.5])
+        P_th = 100.0 / k
+        P = P_th * np.array([1.1, 0.9, 1.0, 2.0])
+        km, rel = relative_error(k, P, k, P_th, k_max=0.35)
+        assert len(km) == 3
+        np.testing.assert_allclose(rel, [0.1, 0.1, 0.0], atol=1e-12)
+        assert mean_relative_error(k, P, k, P_th, k_max=0.35) == pytest.approx(
+            0.2 / 3
+        )
+
+    def test_nyquist(self):
+        assert nyquist_k(64, 500.0) == pytest.approx(np.pi * 64 / 500.0)
+
+
+class TestStudies:
+    def test_solver_comparison(self, tmp_path):
+        fig = str(tmp_path / "solvers.png")
+        out = compare_solver_spectra(TINY, solvers=("pm", "p3m"), fig_path=fig)
+        assert set(out) == {"pm", "p3m"}
+        for r in out.values():
+            assert np.isfinite(r["mean_rel_err"])
+            assert r["wall_s"] > 0
+            assert (r["P"][r["modes"] > 0] >= 0).all()
+        assert os.path.exists(fig)
+
+    def test_lpt_comparison(self, tmp_path):
+        fig = str(tmp_path / "lpt.png")
+        out = lpt_comparison(TINY, fig_path=fig)
+        assert set(out) == {"1lpt", "2lpt"}
+        # same phases: spectra should agree at large scales
+        r1, r2 = out["1lpt"], out["2lpt"]
+        m = (r1["modes"] > 0) & (r1["k"] < 0.1) & (r1["P"] > 0) & (r2["P"] > 0)
+        if m.sum():
+            ratio = r2["P"][m] / r1["P"][m]
+            assert np.all(ratio > 0.5) and np.all(ratio < 2.0)
+        assert os.path.exists(fig)
+
+    def test_resolution_study(self, tmp_path):
+        fig = str(tmp_path / "res.png")
+        out = resolution_study(TINY, n_sides=(8, 16), fig_path=fig)
+        assert set(out) == {8, 16}
+        assert out[16]["k_ny"] > out[8]["k_ny"]
+        assert os.path.exists(fig)
