@@ -19,3 +19,12 @@ __all__ = [
     "energy_drift",
     "virial_ratio",
 ]
+
+from nbody.diagnostics.profiling import (
+    StepTimer,
+    benchmark_fn,
+    pairwise_interactions,
+    trace,
+)
+
+__all__ += ["StepTimer", "benchmark_fn", "pairwise_interactions", "trace"]

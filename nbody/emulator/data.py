@@ -326,13 +326,18 @@ class DeltaDataset:
         # val ids continue after train ids (reference
         # `make_partition_and_labels`, `Cosmo NN5.py:167-184`)
         offset = train_n if split == "val" else 0
-        vols = []
-        for i in range(len(labels3)):
-            v = np.load(os.path.join(path, sub, f"{stem}{offset + i + 1}.npy"))
-            if v.ndim == 4:
-                v = v[..., 0]
-            vols.append(np.asarray(v, dtype=np.float32))
-        X = np.stack(vols)
+        paths = [
+            os.path.join(path, sub, f"{stem}{offset + i + 1}.npy")
+            for i in range(len(labels3))
+        ]
+        # shape from the first file's header; bulk read via the C++
+        # thread-pool loader (numpy fallback inside)
+        shape = np.load(paths[0], mmap_mode="r").shape
+        from nbody.native import read_volumes
+
+        X = read_volumes(paths, shape)
+        if X.ndim == 5:  # (M, N, N, N, 1) CONCEPT-path channel dim
+            X = X[..., 0]
         maxima_all = mm.maxima()
         if split == "test":
             # test labels stay 3-wide in the reference (`Cosmo NN5.py:141`)

@@ -88,3 +88,32 @@ def test_ring_deterministic_across_shardings():
         acc, _ = jax.jit(acc_fn)(st.pos, st.mass)
         accs.append(np.asarray(acc))
     np.testing.assert_allclose(accs[0], accs[1], rtol=1e-12)
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        import time as _time
+
+        from nbody.diagnostics import StepTimer
+
+        t = StepTimer(n_particles=100)
+        with t.measure(steps=10):
+            _time.sleep(0.01)
+        rep = t.report()
+        assert rep.steps == 10 and rep.wall_s >= 0.01
+        assert rep.interactions_per_s > 0
+        assert "steps/s" in str(rep)
+
+    def test_benchmark_fn(self):
+        import jax.numpy as jnp
+
+        from nbody.diagnostics import benchmark_fn
+
+        f = lambda x: (x * 2).sum()
+        dt = benchmark_fn(f, jnp.ones(100), reps=3)
+        assert dt > 0
+
+    def test_pairwise_interactions(self):
+        from nbody.diagnostics import pairwise_interactions
+
+        assert pairwise_interactions(10, steps=5) == 100 * 6
