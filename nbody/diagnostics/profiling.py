@@ -80,22 +80,38 @@ class StepTimer:
         )
 
 
+def sync(out):
+    """Force completion of a computation by reading a few elements back to
+    the host.  ``jax.block_until_ready`` is NOT sufficient under relayed /
+    proxied TPU backends (it returns after dispatch, not execution); a
+    host readback of any output slice is a true execution barrier."""
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:2])
+    return out
+
+
 def benchmark_fn(fn, *args, reps: int = 3, perturb_arg: int = 0, warmup: bool = True):
     """Median wall time of ``fn(*args)`` with the ``perturb_arg``-th array
     argument nudged per rep (defeats dispatch caches — identical dispatches
-    are served from cache by the TPU relay) and full device sync."""
+    are served from cache by the TPU relay) and a true execution barrier
+    (host readback via :func:`sync`, not just block_until_ready)."""
     import jax.numpy as jnp
+    import numpy as np
 
+    rng = np.random.default_rng()
     if warmup:
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
     times = []
-    for i in range(reps):
+    for _ in range(reps):
         a = list(args)
         a[perturb_arg] = a[perturb_arg] + jnp.asarray(
-            (i + 1) * 1e-6, a[perturb_arg].dtype
+            rng.uniform(1e-6, 1e-4), a[perturb_arg].dtype
         )
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*a))
+        sync(fn(*a))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]

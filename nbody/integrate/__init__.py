@@ -11,3 +11,12 @@ __all__ = [
     "cosmo_kick_drift_factors",
     "run_cosmological",
 ]
+
+from nbody.integrate.adaptive import (
+    AdaptiveResult,
+    required_dt,
+    run_adaptive,
+    rung_population,
+)
+
+__all__ += ["AdaptiveResult", "required_dt", "run_adaptive", "rung_population"]

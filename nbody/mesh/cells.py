@@ -1,0 +1,81 @@
+"""Cell lists: spatial bucketing for short-range pair interactions.
+
+CONCEPT's P3M tiles its domain for the short-range pass (the reference
+selects it via ``'gravity': 'p3m'``, `TheFeedingPipeline/NN.param:81-83`);
+the TPU equivalent is a fixed-capacity cell list with static shapes so the
+whole build lives inside jit/scan:
+
+  particle -> cell id -> argsort by cell -> rank-within-cell (searchsorted)
+  -> scatter indices into an (n_cells, capacity) bucket table.
+
+Padding slots hold the sentinel index ``n`` which maps to a zero-mass
+far-away ghost particle, so downstream kernels need no masking beyond the
+self-pair.  Capacity is a static compile-time choice; the build returns an
+``overflow`` count (particles whose cell was full — their *short-range*
+contribution would be dropped) that callers should check at IC time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CellList(NamedTuple):
+    indices: jax.Array  # (ncell^3, capacity) int32; padding slots hold n
+    counts: jax.Array  # (ncell^3,) true occupancy
+    overflow: jax.Array  # scalar int32: particles that did not fit
+
+
+def cell_capacity(n: int, ncell: int, headroom: float = 2.0, minimum: int = 8) -> int:
+    """Static capacity heuristic: headroom x mean occupancy (+Poisson
+    floor), rounded up to a multiple of 8 for sublane alignment."""
+    mean = n / ncell**3
+    cap = max(minimum, int(headroom * mean + 4.0 * mean**0.5 + 1))
+    return -(-cap // 8) * 8
+
+
+@functools.partial(jax.jit, static_argnames=("ncell", "capacity"))
+def build_cell_list(pos, box, ncell: int, capacity: int) -> CellList:
+    """Bucket particles into an (ncell,)*3 grid of side box/ncell.
+
+    ``pos`` may be unwrapped; positions are folded into [0, box).
+    """
+    n = pos.shape[0]
+    s = jnp.mod(pos, box) * (ncell / box)
+    c = jnp.clip(s.astype(jnp.int32), 0, ncell - 1)
+    cid = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
+
+    order = jnp.argsort(cid)
+    cid_s = cid[order]
+    start = jnp.searchsorted(cid_s, cid_s, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - start.astype(jnp.int32)
+    ok = rank < capacity
+
+    table = jnp.full((ncell**3 * capacity,), n, dtype=jnp.int32)
+    lin = cid_s * capacity + rank
+    table = table.at[jnp.where(ok, lin, ncell**3 * capacity)].set(
+        order.astype(jnp.int32), mode="drop"
+    )
+    counts = jnp.bincount(cid, length=ncell**3).astype(jnp.int32)
+    overflow = jnp.sum(~ok).astype(jnp.int32)
+    return CellList(
+        indices=table.reshape(ncell**3, capacity),
+        counts=counts,
+        overflow=overflow,
+    )
+
+
+def neighbor_offsets():
+    """The 27 neighbor-cell offsets (self included)."""
+    import numpy as np
+
+    return [
+        (ox, oy, oz)
+        for ox in (-1, 0, 1)
+        for oy in (-1, 0, 1)
+        for oz in (-1, 0, 1)
+    ]

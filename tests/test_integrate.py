@@ -109,3 +109,45 @@ def test_diagnostics_series():
     e0 = float(d0.e_kin + d0.e_pot)
     assert diags.time.shape == (8,)
     assert float(diag.energy_drift(jnp.concatenate([jnp.array([e0]), e]))) < 1e-6
+
+
+class TestAdaptive:
+    """Adaptive global stepping + rung diagnostics (CONCEPT's adaptive
+    rungs observable, SURVEY.md §0 'Rung population')."""
+
+    def test_kepler_adaptive_conserves_energy(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from nbody.core import units
+        from nbody.diagnostics import total_energy
+        from nbody.forces import direct_acc, direct_potential
+        from nbody.ic import systems
+        from nbody.integrate import run_adaptive
+
+        # eccentric two-body orbit: adaptive dt must shrink at pericentre
+        state = systems.two_body(e=0.7)
+        G = units.SOLAR.G
+
+        def acc_fn(pos, mass):
+            return direct_acc(pos, mass, eps=1e-4, G=G), None
+
+        e0 = float(total_energy(state, eps=1e-4, G=G))
+        res = run_adaptive(state, 1.0, acc_fn, eps=1e-2, eta=0.05)
+        assert float(res.state.time) == 1.0
+        assert int(res.n_steps) > 0
+        assert float(res.dt_min) < float(res.dt_max)  # it adapted
+        e1 = float(total_energy(res.state, eps=1e-4, G=G))
+        assert abs((e1 - e0) / e0) < 1e-4
+
+    def test_rung_population(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from nbody.integrate import rung_population
+
+        acc = jnp.asarray([[1e-6, 0, 0], [1.0, 0, 0], [100.0, 0, 0]])
+        pop = np.asarray(rung_population(acc, dt_base=0.1, eps=0.01, n_rungs=8))
+        assert pop.sum() == 3
+        assert pop[0] >= 1          # slow particle on rung 0
+        assert pop[1:].sum() >= 1   # fast particle demoted to a finer rung
