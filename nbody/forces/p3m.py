@@ -60,9 +60,41 @@ def _short_weight(r2, eps2: float, r_s: float, r_cut: float):
     return jnp.where(r2 < r_cut * r_cut, w, 0.0)
 
 
+def _spline_short_weight(r2, r_s: float, r_cut: float):
+    """Polynomial-spline short-range force weight (r_s unused — the spline
+    split has a single scale r_cut).
+
+    Complement of :func:`nbody.forces.pm.spline_longrange_filter`:
+    w(r) = 1/r^3 + q'(u) / (r_cut^2 r), u = r/r_cut,
+    q'(u) = (-70 u + 84 u^3 - 30 u^5)/16.  Pure Newton at r -> 0,
+    EXACTLY zero at r_cut (q'(1) = -1), C^2-smooth in between, and —
+    unlike the Ewald erfc/exp weight — costs one rsqrt plus a handful of
+    FMAs per pair, so the cell kernels run at the VPU's dense-kernel
+    rate.  ``r2`` includes the Plummer eps^2 (softens the Newton term;
+    the spline term is smooth anyway).
+    """
+    inv_r = jax.lax.rsqrt(r2)
+    r = r2 * inv_r
+    u = r * (1.0 / r_cut)
+    u2 = u * u
+    qp = u * (-70.0 / 16.0 + u2 * (84.0 / 16.0 - u2 * (30.0 / 16.0)))
+    w = inv_r * inv_r * inv_r + qp * inv_r * (1.0 / (r_cut * r_cut))
+    return jnp.where(r2 < r_cut * r_cut, w, 0.0)
+
+
+def _weight_fn(split: str):
+    if split == "gaussian":
+        return _short_weight
+    if split == "spline":
+        return lambda r2, eps2, r_s, r_cut: _spline_short_weight(r2, r_s, r_cut)
+    raise ValueError(f"unknown split {split!r}")
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("box", "eps", "r_s", "r_cut", "G", "ti", "tj", "interpret"),
+    static_argnames=(
+        "box", "eps", "r_s", "r_cut", "G", "ti", "tj", "interpret", "split"
+    ),
 )
 def p3m_short_acc(
     pos,
@@ -75,6 +107,7 @@ def p3m_short_acc(
     ti: int = 1024,
     tj: int = 1024,
     interpret: bool | None = None,
+    split: str = "gaussian",
 ):
     """Short-range P3M correction force (minimum-image periodic).
 
@@ -114,7 +147,7 @@ def p3m_short_acc(
         dy = mimg(yj - yi)
         dz = mimg(zj - zi)
         r2 = dx * dx + dy * dy + dz * dz + eps * eps
-        w = mj * _short_weight(r2, eps * eps, r_s, r_cut)
+        w = mj * _weight_fn(split)(r2, eps * eps, r_s, r_cut)
         ax = jnp.sum(w * dx, axis=1)
         ay = jnp.sum(w * dy, axis=1)
         az = jnp.sum(w * dz, axis=1)
@@ -144,12 +177,12 @@ def p3m_short_acc(
     return out[:3, :n].T * G
 
 
-def p3m_short_direct(pos, mass, box, eps, r_s, r_cut, G=1.0):
+def p3m_short_direct(pos, mass, box, eps, r_s, r_cut, G=1.0, split="gaussian"):
     """Dense jnp oracle for the short-range sum (tests)."""
     d = pos[None, :, :] - pos[:, None, :]
     d = d - box * jnp.round(d / box)
     r2 = jnp.sum(d * d, axis=-1) + jnp.asarray(eps, pos.dtype) ** 2
-    w = mass[None, :] * _short_weight(r2, eps**2, r_s, r_cut)
+    w = mass[None, :] * _weight_fn(split)(r2, eps**2, r_s, r_cut)
     n = pos.shape[0]
     w = jnp.where(jnp.eye(n, dtype=bool), 0.0, w)
     return G * jnp.einsum("ij,ijk->ik", w, d)
@@ -168,16 +201,19 @@ def p3m_acc(
     interlace: bool = False,
     interpret: bool | None = None,
     shortrange: str = "auto",
+    split: str = "gaussian",
 ):
-    """Full P3M acceleration: Gaussian-filtered PM far field + short-range
+    """Full P3M acceleration: filtered PM far field + short-range
     correction.
 
     Defaults follow the usual P3M practice: r_s = 1.25 cell widths,
     r_cut = 4.5 r_s (C(r_cut) < 2e-3).  ``shortrange`` picks the
     short-range tier: 'allpairs' (dense Pallas kernel, exact for any
-    geometry), 'cells' (cell-list, O(N * 27 * capacity) — the production
-    tier), or 'auto' (cells beyond 64k particles when the box admits a
-    >= 3^3 cell grid).
+    geometry), 'cells' (ghost-padded Pallas cell kernel,
+    O(N * 27 * capacity) — the production tier), or 'auto' (cells beyond
+    64k particles when the box admits a >= 3^3 cell grid).  ``split``
+    picks the force split: 'gaussian' (Ewald erfc/exp) or 'spline'
+    (polynomial — same accuracy class, cheaper per pair on the VPU).
     """
     cell = box / nmesh
     if r_s is None:
@@ -192,7 +228,8 @@ def p3m_acc(
         G=G,
         deconvolve_p=deconvolve_p,
         interlace=interlace,
-        longrange_split=float(r_s),
+        longrange_split=float(r_s) if split == "gaussian" else 0.0,
+        spline_split=float(r_cut) if split == "spline" else 0.0,
     )
     n = pos.shape[0]
     if shortrange == "auto":
@@ -206,14 +243,14 @@ def p3m_acc(
 
         ncell = int(box / float(r_cut))
         capacity = cell_capacity(n, ncell)
-        acc_short, _overflow = p3m_short_cells(
+        acc_short, _overflow = p3m_short_cells_pallas(
             pos, mass, box, float(eps), float(r_s), float(r_cut), G=G,
-            ncell=ncell, capacity=capacity,
+            ncell=ncell, capacity=capacity, split=split,
         )
     else:
         acc_short = p3m_short_acc(
             pos, mass, box, float(eps), float(r_s), float(r_cut), G=G,
-            interpret=interpret,
+            interpret=interpret, split=split,
         )
     return acc_long + acc_short
 
@@ -226,7 +263,8 @@ def p3m_acc(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "box", "eps", "r_s", "r_cut", "G", "ncell", "capacity", "cell_chunk"
+        "box", "eps", "r_s", "r_cut", "G", "ncell", "capacity", "cell_chunk",
+        "split",
     ),
 )
 def p3m_short_cells(
@@ -241,6 +279,7 @@ def p3m_short_cells(
     ncell: int,
     capacity: int,
     cell_chunk: int = 0,
+    split: str = "gaussian",
 ):
     """Short-range P3M force via a fixed-capacity cell list.
 
@@ -314,7 +353,7 @@ def p3m_short_cells(
             nidx = bidx[nid]
             d = npos[:, None, :, :] - cpos[:, :, None, :]  # (chunk, K, K, 3)
             r2 = jnp.sum(d * d, axis=-1) + eps2
-            w = nmass[:, None, :] * _short_weight(r2, eps2, r_s, r_cut)
+            w = nmass[:, None, :] * _weight_fn(split)(r2, eps2, r_s, r_cut)
             w = jnp.where(cidx[:, :, None] == nidx[:, None, :], 0.0, w)
             acc = acc + jnp.einsum("ckj,ckjd->ckd", w, d)
         return acc
@@ -340,3 +379,170 @@ def p3m_short_params(box: float, nmesh: int, n: int):
     ncell = max(3, int(box / r_cut))
     capacity = cell_capacity(n, ncell)
     return r_s, r_cut, ncell, capacity
+
+
+# ---------------------------------------------------------------------------
+# Pallas cell-pair kernel (fastest short-range tier)
+# ---------------------------------------------------------------------------
+
+
+def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
+                 split="gaussian"):
+    """One ghost-padded z-column of cells vs one (ox, oy) neighbor column.
+
+    i_ref/j_ref/out_ref: (8, (ncell+2)*K) padded columns — rows x, y, z,
+    mass, 0...  Real cells are z slots 1..ncell; their 3 z-neighbors are
+    the contiguous (K, 3K) window of the j column.  out accumulates acc
+    over the 9 (ox, oy) grid revisits; ghost z slots stay zero.  No
+    self-pair masking is needed: d = 0 gives zero force contribution.
+    """
+    o2 = pl.program_id(1)
+
+    @pl.when(o2 == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for b in range(1, ncell + 1):
+        isl = slice(b * K, (b + 1) * K)
+        xi = i_ref[0, isl][:, None]
+        yi = i_ref[1, isl][:, None]
+        zi = i_ref[2, isl][:, None]
+        jsl = slice((b - 1) * K, (b + 2) * K)
+        xj = j_ref[0, jsl][None, :]
+        yj = j_ref[1, jsl][None, :]
+        zj = j_ref[2, jsl][None, :]
+        mj = j_ref[3, jsl][None, :]
+        dx = xj - xi
+        dy = yj - yi
+        dz = zj - zi
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        w = mj * _weight_fn(split)(r2, eps2, r_s, r_cut)
+        ax = jnp.sum(w * dx, axis=1)
+        ay = jnp.sum(w * dy, axis=1)
+        az = jnp.sum(w * dz, axis=1)
+        zero = jnp.zeros_like(ax)
+        upd = jnp.stack([ax, ay, az, zero, zero, zero, zero, zero])
+        out_ref[:, isl] = out_ref[:, isl] + upd
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "box", "eps", "r_s", "r_cut", "G", "ncell", "capacity", "interpret",
+        "split",
+    ),
+)
+def p3m_short_cells_pallas(
+    pos,
+    mass,
+    box: float,
+    eps: float,
+    r_s: float,
+    r_cut: float,
+    G: float = 1.0,
+    *,
+    ncell: int,
+    capacity: int,
+    interpret: bool | None = None,
+    split: str = "gaussian",
+):
+    """Short-range P3M via a Pallas cell-pair kernel.
+
+    Same physics as :func:`p3m_short_cells`, restructured for the TPU
+    memory system: one ghost-padded (8, (ncell+2)^3 * K) SoA plane holds
+    every bucket (rows x, y, z, mass; ghost cells replicate the periodic
+    wrap with the +/-box shift baked into their positions), so every
+    i/j/out access in the kernel is a *contiguous* VMEM block and the
+    inner loop is pure VPU arithmetic with zero gathers.  Grid =
+    (z-columns, 9 (ox, oy) offsets); the output column accumulates in
+    VMEM across the 9 revisits; unvisited ghost columns are routed to a
+    dropped scatter row.
+
+    Returns (acc (N, 3), overflow) like p3m_short_cells.
+    """
+    from nbody.mesh.cells import build_cell_list
+
+    if box / ncell < r_cut - 1e-9:
+        raise ValueError(
+            f"cell size {box / ncell:.3f} < r_cut {r_cut:.3f}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = pos.shape[0]
+    dtype = jnp.float32
+    K = -(-capacity // 128) * 128  # lane-align bucket width
+    eps2 = float(eps) ** 2
+
+    cl = build_cell_list(pos.astype(dtype), box, ncell, capacity)
+    C3 = ncell**3
+    idx = jnp.concatenate(
+        [cl.indices, jnp.full((C3, K - capacity), n, jnp.int32)], axis=1
+    )  # (C3, K)
+
+    posw = jnp.mod(pos, box).astype(dtype)
+    pos_pad = jnp.concatenate([posw, jnp.full((1, 3), -4.0 * r_cut, dtype)], 0)
+    mass_pad = jnp.concatenate([mass.astype(dtype), jnp.zeros((1,), dtype)], 0)
+
+    # ONE ghost-padded plane: M^3 cells, M = ncell + 2; padded coord g maps
+    # to source cell (g-1) mod ncell with position shift box*floor((g-1)/n)
+    M = ncell + 2
+    g = jnp.arange(M)
+    src1 = jnp.mod(g - 1, ncell)
+    shift1 = ((g - 1) // ncell).astype(dtype) * box
+    px, py, pz = jnp.meshgrid(g, g, g, indexing="ij")
+    src_cid = ((src1[px] * ncell + src1[py]) * ncell + src1[pz]).reshape(-1)
+    idx_pad = idx[src_cid]  # (M^3, K) — ghosts carry real particle ids
+    bpos = pos_pad[idx_pad]  # (M^3, K, 3)
+    shift = jnp.stack(
+        [shift1[px], shift1[py], shift1[pz]], axis=-1
+    ).reshape(-1, 1, 3)
+    bpos = bpos + shift
+    plane = jnp.concatenate(
+        [
+            jnp.moveaxis(bpos, -1, 0),  # (3, M^3, K)
+            mass_pad[idx_pad][None],  # (1, M^3, K)
+            jnp.zeros((4, M**3, K), dtype),
+        ],
+        axis=0,
+    ).reshape(8, M**3 * K)
+
+    def i_map(c2, o2):
+        return (0, (c2 // ncell + 1) * M + (c2 % ncell + 1))
+
+    def j_map(c2, o2):
+        pxc = c2 // ncell
+        pyc = c2 % ncell
+        ox = o2 // 3 - 1
+        oy = o2 % 3 - 1
+        return (0, (pxc + 1 + ox) * M + (pyc + 1 + oy))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _cell_kernel,
+            ncell=ncell, K=K, eps2=eps2, r_s=float(r_s), r_cut=float(r_cut),
+            split=split,
+        ),
+        grid=(ncell * ncell, 9),
+        in_specs=[
+            pl.BlockSpec((8, M * K), i_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, M * K), j_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, M * K), i_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, M**3 * K), dtype),
+        interpret=interpret,
+    )(plane, plane)
+
+    # scatter back: only real (interior) cells carry physics; unvisited
+    # ghost columns hold garbage -> route them to the dropped sentinel row
+    interior = (
+        (px >= 1) & (px <= ncell) & (py >= 1) & (py <= ncell)
+        & (pz >= 1) & (pz <= ncell)
+    ).reshape(-1)
+    scatter_idx = jnp.where(interior[:, None], idx_pad, n)
+    acc_buckets = out[:3].reshape(3, M**3 * K).T
+    acc = (
+        jnp.zeros((n + 1, 3), dtype)
+        .at[scatter_idx.reshape(-1)]
+        .add(acc_buckets)[:n]
+    )
+    return G * acc.astype(pos.dtype), cl.overflow

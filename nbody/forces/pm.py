@@ -28,6 +28,7 @@ from nbody.mesh.cic import (
     cic_deposit,
     cic_deposit_interlaced_k,
     cic_gather,
+    cic_gather_vec,
     cic_window,
 )
 from nbody.mesh.grids import kvecs
@@ -96,10 +97,55 @@ def gradient_kernel(nmesh: int, box: float, order: str, dtype):
     raise ValueError(f"unknown gradient kernel {order!r}")
 
 
+@functools.lru_cache(maxsize=32)
+def _spline_filter_radial(r_cut: float, k_max: float, n_tab: int = 4096):
+    """Radial table of the spline-split long-range Green's function.
+
+    Potential split 1/r = psi_s + psi_l with psi_l = q(r/r_cut)/r_cut
+    inside r_cut (q(u) = (35 - 35u^2 + 21u^4 - 5u^6)/16, C^3-matched to
+    1/r at r_cut) and 1/r outside.  Then
+
+      psi_l_hat(k) / (4 pi) = 1/k^2 + I(k)/k,
+      I(k) = r_cut * int_0^1 (u q(u) - 1) sin(k r_cut u) du,
+
+    evaluated by trapezoid on a fine u grid (host numpy, cached per
+    (r_cut, nmesh/box)).  This replaces the Ewald Gaussian exp(-k^2 r_s^2)
+    filter of the classic split — its real-space complement needs only
+    polynomial arithmetic in the short-range kernel (no exp/erfc), which
+    is what makes the P3M inner loop VPU-cheap.
+    """
+    import numpy as np
+
+    u = np.linspace(0.0, 1.0, 8192)
+    q = (35.0 - 35.0 * u**2 + 21.0 * u**4 - 5.0 * u**6) / 16.0
+    g = u * q - 1.0  # integrand factor, -> 0 at u=1
+    ks = np.linspace(0.0, k_max, n_tab)
+    # I(k) for every tabulated k: trapezoid over u
+    kr = np.outer(ks, u) * r_cut
+    I = r_cut * np.trapezoid(g[None, :] * np.sin(kr), u, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        F = np.where(ks > 0, 1.0 / np.maximum(ks, 1e-30) ** 2
+                     + I / np.maximum(ks, 1e-30), 0.0)
+    F[0] = 0.0  # DC removed (delta has no k=0 power)
+    return ks, F
+
+
+def spline_longrange_filter(nmesh: int, box: float, r_cut: float, dtype):
+    """3D rfft-layout multiplier replacing inv_k2 * gaussian for the
+    polynomial-spline force split (see _spline_filter_radial)."""
+    from nbody.mesh.grids import kmag
+
+    km = kmag(nmesh, box, rfft=True, dtype=jnp.float64)
+    k_max = float(3.0**0.5 * jnp.pi * nmesh / box) * 1.0001
+    ks, F = _spline_filter_radial(float(r_cut), k_max)
+    return jnp.interp(km, jnp.asarray(ks), jnp.asarray(F)).astype(dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "box", "nmesh", "deconvolve_p", "interlace", "longrange_split", "grad_order",
+        "box", "nmesh", "deconvolve_p", "interlace", "longrange_split",
+        "grad_order", "spline_split",
     ),
 )
 def _pm_acc_impl(
@@ -112,12 +158,33 @@ def _pm_acc_impl(
     interlace: bool,
     longrange_split: float,
     grad_order: str = "fd4",
+    spline_split: float = 0.0,
 ):
     """acc_i = -grad phi(x_i) with lap phi = source_amp * delta.
 
     ``longrange_split`` > 0 multiplies the potential by the Ewald-style
     Gaussian filter exp(-k^2 r_s^2) (used by P3M's far field).
+    ``spline_split`` > 0 (an r_cut) instead swaps the whole 1/k^2 Green's
+    function for the polynomial-spline long-range filter — pair it with
+    the spline short-range kernel in nbody.forces.p3m.
     """
+    if spline_split > 0.0:
+        phi_k = pm_potential_k(
+            pos, mass, box, nmesh,
+            deconvolve_p=deconvolve_p, interlace=interlace,
+        )
+        # pm_potential_k already divided by k^2; undo and apply the table
+        kxs, kys, kzs = kvecs(nmesh, box, rfft=True, dtype=pos.dtype)
+        k2 = kxs**2 + kys**2 + kzs**2
+        filt = spline_longrange_filter(nmesh, box, spline_split, pos.dtype)
+        phi_k = phi_k * source_amp * (k2 * filt)
+        kx, ky, kz = gradient_kernel(nmesh, box, grad_order, pos.dtype)
+        shape = (nmesh,) * 3
+        grids = jnp.stack(
+            [jnp.fft.irfftn(-1j * kj * phi_k, s=shape) for kj in (kx, ky, kz)]
+        )
+        return cic_gather_vec(grids, pos, box)
+
     phi_k = pm_potential_k(
         pos, mass, box, nmesh, deconvolve_p=deconvolve_p, interlace=interlace
     )
@@ -129,12 +196,12 @@ def _pm_acc_impl(
     kx, ky, kz = gradient_kernel(nmesh, box, grad_order, pos.dtype)
 
     shape = (nmesh,) * 3
-    acc = []
-    for kj in (kx, ky, kz):
-        # force = -grad phi -> F_k = -i k_j phi_k
-        fj = jnp.fft.irfftn(-1j * kj * phi_k, s=shape)
-        acc.append(cic_gather(fj, pos, box))
-    return jnp.stack(acc, axis=-1)
+    # force = -grad phi -> F_k = -i k_j phi_k; all three components are
+    # read back in ONE fused CIC gather (the readback is gather-bound)
+    grids = jnp.stack(
+        [jnp.fft.irfftn(-1j * kj * phi_k, s=shape) for kj in (kx, ky, kz)]
+    )
+    return cic_gather_vec(grids, pos, box)
 
 
 def pm_acc(
@@ -146,6 +213,7 @@ def pm_acc(
     deconvolve_p: int = 2,
     interlace: bool = False,
     longrange_split: float = 0.0,
+    spline_split: float = 0.0,
 ):
     """Newtonian periodic PM acceleration.
 
@@ -156,7 +224,8 @@ def pm_acc(
     V = box**3
     amp = 4.0 * jnp.pi * G * jnp.sum(mass) / V
     return _pm_acc_impl(
-        pos, mass, amp, box, nmesh, deconvolve_p, interlace, longrange_split
+        pos, mass, amp, box, nmesh, deconvolve_p, interlace, longrange_split,
+        spline_split=spline_split,
     )
 
 

@@ -84,6 +84,35 @@ def cic_gather(grid, pos, box):
     return out
 
 
+def cic_gather_vec(grids, pos, box):
+    """CIC-interpolate C grids at once: grids (C, N, N, N) -> (n, C).
+
+    One index/weight computation + one fused gather of (C,)-vectors per
+    corner instead of C full passes — the PM force readback (3 components)
+    is gather-bound on TPU, so this is ~3x cheaper than 3 cic_gather calls.
+    """
+    C = grids.shape[0]
+    nmesh = grids.shape[1]
+    s = pos * (nmesh / box)
+    i0 = jnp.floor(s)
+    f = s - i0
+    i0 = i0.astype(jnp.int32)
+    flat = grids.reshape(C, -1).T  # (N^3, C) — corner fetch is one row
+    out = jnp.zeros((pos.shape[0], C), grids.dtype)
+    for dx, dy, dz in itertools.product((0, 1), repeat=3):
+        w = (
+            (f[:, 0] if dx else 1.0 - f[:, 0])
+            * (f[:, 1] if dy else 1.0 - f[:, 1])
+            * (f[:, 2] if dz else 1.0 - f[:, 2])
+        )
+        ix = jnp.mod(i0[:, 0] + dx, nmesh)
+        iy = jnp.mod(i0[:, 1] + dy, nmesh)
+        iz = jnp.mod(i0[:, 2] + dz, nmesh)
+        lin = (ix * nmesh + iy) * nmesh + iz
+        out = out + w[:, None] * flat[lin]
+    return out
+
+
 def density_to_delta(count_grid, n_particles: int):
     """Overdensity delta = rho/rho_mean - 1 from a CIC count grid
     (the reference's `compute_delta`, `FraP_kTilDelta.py:126-127`)."""
