@@ -59,6 +59,8 @@ class SimulationConfig:
     softening_frac: float = 0.03  # eps = frac * (box / n_side)
     deconvolve_p: int = 2
     interlace: bool = False
+    force_split: str = "gaussian"  # P3M split: 'gaussian' | 'spline'
+    # ('spline' is the faster production kernel — see nbody.forces.p3m)
 
     # -- time stepping -------------------------------------------------------
     a_begin: float = 0.02

@@ -73,6 +73,7 @@ def build_cosmo_force(config: SimulationConfig) -> Callable:
         acc = p3m_acc(
             pos, mass, box, nmesh, G=G, eps=eps,
             deconvolve_p=config.deconvolve_p, interlace=config.interlace,
+            split=config.force_split,
         )
         return acc / jnp.asarray(a, pos.dtype)
 
