@@ -37,11 +37,16 @@ def _add_sim_args(p: argparse.ArgumentParser) -> None:
 def _config_from_args(args) -> "SimulationConfig":
     from nbody.driver.config import SimulationConfig
 
-    cfg = (
-        SimulationConfig.load(args.config)
-        if getattr(args, "config", None)
-        else SimulationConfig()
-    )
+    path = getattr(args, "config", None)
+    if path and path.endswith(".param"):
+        # CONCEPT param-file interop (nbody.driver.param_compat)
+        from nbody.driver.param_compat import load_concept_param
+
+        cfg = load_concept_param(path)
+    elif path:
+        cfg = SimulationConfig.load(path)
+    else:
+        cfg = SimulationConfig()
     for flag in (
         "box", "n_side", "pm_grid", "solver", "a_begin", "a_end",
         "n_steps", "lpt_order", "A_s", "n_s", "omega_cdm", "h",

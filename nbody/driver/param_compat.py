@@ -1,0 +1,166 @@
+"""CONCEPT ``.param`` file compatibility reader.
+
+The reference configures CONCEPT with executable Python-like param files
+carrying units and computed tags (`Different_Sizes/Giant.param`,
+`SnapVsPK/Uncertain.param`, `TheFeedingPipeline/NN.param` — component C30,
+SURVEY.md §2/§5.6), and runs them through regex templating to inject
+seeds/amplitudes (`Ucertain.py:22-67`, `NeuNetværk_test.py:100-119`).
+
+:func:`load_concept_param` executes such a file in a sandboxed namespace
+(unit symbols evaluate to magnitudes in this framework's Mpc/Gyr/1e10Msun
+system; ``path`` is a stub; ``h`` becomes available as soon as ``H0`` is
+assigned, like CONCEPT's lazy background) and maps the recognised fields
+onto a :class:`~nbody.driver.config.SimulationConfig`.  ``defines`` plays
+the role of CONCEPT's ``-D`` command-line defines (the reference's
+``_size`` injection), and ``overrides`` the role of the regex surgery.
+"""
+
+from __future__ import annotations
+
+import ast
+import math
+
+from nbody.core import units
+from nbody.driver.config import OutputConfig, SimulationConfig
+
+
+class _PathStub:
+    """Stands in for CONCEPT's `path` object inside f-strings."""
+
+    def __getattr__(self, name: str) -> str:
+        return f"<path.{name}>"
+
+
+def _unit_namespace() -> dict:
+    """Unit symbols with magnitudes in the cosmo unit system (Mpc, Gyr,
+    1e10 Msun), so e.g. ``1000*Mpc`` -> 1000.0 and
+    ``67.36*km/(s*Mpc)`` -> H0 in 1/Gyr."""
+    kms = units.KMS_IN_MPC_PER_GYR  # km/s in Mpc/Gyr
+    ns = {
+        "Mpc": 1.0,
+        "kpc": 1e-3,
+        "Gpc": 1e3,
+        "Gyr": 1.0,
+        "Myr": 1e-3,
+        "yr": 1e-9,
+        "hr": 1.0 / (8766.0 * 1e6),  # Julian hours per Gyr
+        "km": kms,  # so km/(s*Mpc) = H0 magnitude in 1/Gyr
+        "s": 1.0,
+        "m_sun": 1e-10,
+        "Msun": 1e-10,
+        "pi": math.pi,
+        "path": _PathStub(),
+        "cbrt": lambda x: x ** (1.0 / 3.0),
+        "log": math.log,
+        "log2": math.log2,
+        "exp": math.exp,
+        "sqrt": math.sqrt,
+        "machine_ϵ": 2.220446049250313e-16,
+        "machine_eps": 2.220446049250313e-16,
+        "ထ": math.inf,  # CONCEPT's infinity glyph
+        "inf": math.inf,
+    }
+    return ns
+
+
+def parse_concept_param(path: str, defines: dict | None = None) -> dict:
+    """Execute a CONCEPT param file, returning its resulting namespace.
+
+    Statements are executed one at a time; after each, ``h`` is derived
+    from ``H0`` if newly available (CONCEPT exposes h lazily, which the
+    reference's files rely on: ``Ωb = 0.02237/h**2`` after
+    ``H0 = 67.36*km/(s*Mpc)``).  Unknown names make only their own
+    statement fail (skipped), matching how permissive the DSL is.
+    """
+    with open(path, encoding="utf-8") as f:
+        src = f.read()
+    ns = _unit_namespace()
+    ns.update(defines or {})
+    tree = ast.parse(src)
+    kms = units.KMS_IN_MPC_PER_GYR
+    for node in tree.body:
+        stmt = ast.Module(body=[node], type_ignores=[])
+        try:
+            exec(compile(stmt, path, "exec"), ns)  # noqa: S102 — config DSL
+        except Exception:  # noqa: BLE001 — skip unevaluable statements
+            pass
+        if "H0" in ns and "h" not in ns:
+            ns["h"] = ns["H0"] / (100.0 * kms)
+    return ns
+
+
+def config_from_param_namespace(ns: dict) -> SimulationConfig:
+    """Map a parsed CONCEPT namespace onto SimulationConfig."""
+    cfg = SimulationConfig()
+    kw = {}
+
+    if "boxsize" in ns:
+        kw["box"] = float(ns["boxsize"])
+    ic = ns.get("initial_conditions")
+    if isinstance(ic, dict) and "N" in ic:
+        kw["n_side"] = max(2, round(float(ic["N"]) ** (1.0 / 3.0)))
+    forces = ns.get("select_forces")
+    if isinstance(forces, dict):
+        grav = forces.get("matter", {})
+        if isinstance(grav, dict) and grav.get("gravity") in ("pp", "pm", "p3m"):
+            kw["solver"] = grav["gravity"]
+    ro = ns.get("realization_options")
+    if isinstance(ro, dict) and ro.get("LPT") in (1, 2):
+        kw["lpt_order"] = int(ro["LPT"])
+    if "a_begin" in ns:
+        kw["a_begin"] = float(ns["a_begin"])
+    prim = ns.get("primordial_spectrum")
+    if isinstance(prim, dict):
+        if "A_s" in prim:
+            kw["A_s"] = float(prim["A_s"])
+        if "n_s" in prim:
+            kw["n_s"] = float(prim["n_s"])
+    h = ns.get("h")
+    if h:
+        kw["h"] = float(h)
+        for glyph, field in (("Ωb", "omega_b"), ("Ωcdm", "omega_cdm")):
+            if glyph in ns:
+                kw[field] = float(ns[glyph]) * float(h) ** 2
+
+    # potential grid size: take the 'global' entry when it is a plain
+    # number (the reference writes it as a one-element set literal)
+    po = ns.get("potential_options")
+    if isinstance(po, dict):
+        g = po.get("gridsize")
+        if isinstance(g, dict):
+            g = g.get("global")
+        if isinstance(g, (set, frozenset)) and len(g) == 1:
+            g = next(iter(g))
+        if isinstance(g, (int, float)):
+            kw["pm_grid"] = int(g)
+        inter = po.get("interlace")
+        if isinstance(inter, dict):
+            grav = inter.get("gravity", {})
+            inter = grav.get(kw.get("solver", "pm")) or grav.get("pm") or grav.get("p3m")
+        if isinstance(inter, tuple):
+            kw["interlace"] = bool(inter[0])
+
+    out_kw = {}
+    ot = ns.get("output_times")
+    if isinstance(ot, dict) and isinstance(ot.get("snapshot"), (list, tuple)):
+        out_kw["snapshot_times"] = tuple(float(a) for a in ot["snapshot"])
+        kw["a_end"] = max(out_kw["snapshot_times"])
+    if out_kw:
+        kw["output"] = OutputConfig(**out_kw)
+    return cfg.replace(**kw)
+
+
+def load_concept_param(
+    path: str, defines: dict | None = None, overrides: dict | None = None
+) -> SimulationConfig:
+    """CONCEPT ``.param`` file -> SimulationConfig.
+
+    ``defines`` are pre-set names (the reference's ``_size`` injection);
+    ``overrides`` are final SimulationConfig field replacements (the role
+    of the reference's regex-templated override blocks).
+    """
+    ns = parse_concept_param(path, defines=defines)
+    cfg = config_from_param_namespace(ns)
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg

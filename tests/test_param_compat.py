@@ -1,0 +1,113 @@
+"""CONCEPT .param reader tests against the actual reference files."""
+
+import os
+import textwrap
+
+import pytest
+
+from nbody.driver.param_compat import (
+    load_concept_param,
+    parse_concept_param,
+)
+
+REF = "/root/reference"
+ref_available = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not mounted"
+)
+
+
+@ref_available
+class TestReferenceFiles:
+    def test_giant_param(self):
+        cfg = load_concept_param(
+            REF + "/Different_Sizes/Giant.param", defines={"_size": 64}
+        )
+        assert cfg.box == 1000.0
+        assert cfg.n_side == 64
+        assert cfg.solver == "pm"
+        assert cfg.lpt_order == 1
+        assert cfg.a_begin == 0.02
+        assert cfg.A_s == 2.1e-9 and cfg.n_s == 0.9649
+        assert cfg.h == pytest.approx(0.6736, rel=1e-3)
+        # Ωb = 0.02237/h^2 -> omega_b = Ωb h^2 = 0.02237
+        assert cfg.omega_b == pytest.approx(0.02237, rel=1e-6)
+        assert cfg.omega_cdm == pytest.approx(0.12, rel=1e-6)
+        assert cfg.pm_grid == 64
+        assert cfg.interlace is True
+        assert cfg.output.snapshot_times == (1.0,)
+
+    def test_size_define_changes_n(self):
+        cfg = load_concept_param(
+            REF + "/Different_Sizes/Giant.param", defines={"_size": 32}
+        )
+        assert cfg.n_side == 32 and cfg.pm_grid == 32
+
+    def test_nn_param(self):
+        cfg = load_concept_param(REF + "/TheFeedingPipeline/NN.param")
+        assert cfg.solver == "p3m"
+        assert cfg.box == 500.0 and cfg.n_side == 32
+        assert cfg.A_s == pytest.approx(2.105e-9)
+        assert cfg.interlace is True  # p3m interlace (True, True)
+
+    def test_uncertain_param(self):
+        cfg = load_concept_param(REF + "/SnapVsPK/Uncertain.param")
+        assert cfg.solver == "pm" and cfg.box == 1000.0
+
+    def test_overrides(self):
+        """The role of the reference's regex override blocks
+        (`Ucertain.py:22-67`: A_s / seed injection)."""
+        cfg = load_concept_param(
+            REF + "/TheFeedingPipeline/NN.param",
+            overrides={"A_s": 1.88e-9, "n_steps": 10},
+        )
+        assert cfg.A_s == 1.88e-9 and cfg.n_steps == 10
+
+
+class TestUnitsAndLazyH:
+    def test_units_and_lazy_h(self, tmp_path):
+        p = tmp_path / "mini.param"
+        p.write_text(
+            textwrap.dedent(
+                """
+                boxsize = 250*Mpc
+                H0 = 70*km/(s*Mpc)
+                Ωb = 0.022/h**2
+                a_begin = 0.05
+                junk = undefined_name + 1
+                select_forces = {'matter': {'gravity': 'pp'}}
+                """
+            )
+        )
+        cfg = load_concept_param(str(p))
+        assert cfg.box == 250.0
+        assert cfg.h == pytest.approx(0.70, rel=1e-6)
+        assert cfg.omega_b == pytest.approx(0.022, rel=1e-6)
+        assert cfg.a_begin == 0.05
+        assert cfg.solver == "pp"  # the bad statement was skipped
+
+    def test_namespace_units(self, tmp_path):
+        from nbody.core import units
+
+        p = tmp_path / "u.param"
+        p.write_text("x = 6*hr\ny = 1000*Mpc\nz = 100*km/(s*Mpc)\n")
+        ns = parse_concept_param(str(p))
+        assert ns["y"] == 1000.0
+        assert ns["z"] == pytest.approx(units.hubble_gyr(1.0), rel=1e-9)
+        assert ns["x"] == pytest.approx(6 / (8766.0 * 1e6), rel=1e-9)
+
+
+@ref_available
+def test_cli_accepts_param_file(tmp_path, capsys):
+    """`simulate --config X.param` runs a CONCEPT-configured simulation."""
+    import json
+
+    from nbody.driver.cli import main
+
+    rc = main(
+        ["simulate", "--config", REF + "/TheFeedingPipeline/NN.param",
+         "--n-side", "8", "--pm-grid", "16", "--n-steps", "2",
+         "--output", str(tmp_path / "o")]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["solver"] == "p3m" and info["n_particles"] == 512
