@@ -175,3 +175,148 @@ def make_sharded_pm_cosmo_force(
         out_specs=P(axis_name),
         check_vma=False,
     )
+
+
+def make_sharded_p3m_cosmo_force(
+    cosmo,
+    box: float,
+    nmesh: int,
+    mesh: Mesh,
+    eps: float,
+    axis_name: str = "shard",
+    deconvolve_p: int = 2,
+    split: str = "spline",
+    grad_order: str = "fd4",
+    r_s: float | None = None,
+    r_cut: float | None = None,
+    capacity: int | None = None,
+) -> Callable:
+    """Sharded comoving P3M: sharded PM far field + slab-decomposed
+    cell-kernel short range.
+
+    This is the full production multi-chip gravity — the TPU equivalent of
+    CONCEPT's MPI domain decomposition for P3M (SURVEY.md §2.2/§5.8):
+
+      * far field: local CIC deposit of each particle shard ->
+        ``psum``(grid) -> replicated filtered FFT Poisson solve -> local
+        gather (one nmesh^3 all-reduce per evaluation);
+      * short range: the ghost-padded bucket plane is sliced into
+        x-slabs of cell columns; device d runs the Pallas cell-pair
+        kernel over its nx = ncell/D slabs (the slab's +/-1 halo columns
+        are part of the contiguous slice), then partial per-particle
+        forces are ``psum``-reduced and re-sliced to the particle blocks.
+
+    Positions are globally visible during the short-range pass (one
+    ``all_gather`` of the (N, 3) block ring — 12 MB at N = 1M), so this
+    scales *compute* with D; spatially-resident particle storage is the
+    next tier (ppermute halo exchange of boundary buckets only).
+
+    Inputs/outputs are particle-block-sharded like make_ring_acc_fn:
+    acc_fn(pos, mass, a) -> g with g = -grad phi / a conventions of
+    nbody.integrate.run_cosmological.  ncell is derived from r_cut and
+    rounded DOWN to a multiple of the axis size.
+    """
+    import numpy as np
+
+    from nbody.forces.p3m import build_padded_plane, run_cell_plane
+    from nbody.forces.pm import gradient_kernel, spline_longrange_filter
+    from nbody.mesh.cells import cell_capacity
+    from nbody.core import units as u
+
+    D = mesh.shape[axis_name]
+    cell = box / nmesh
+    if r_s is None:
+        r_s = 1.25 * cell
+    if r_cut is None:
+        r_cut = 4.5 * r_s
+    ncell = int(box / float(r_cut))
+    ncell -= ncell % D  # slab decomposition needs D | ncell
+    if ncell < max(3, D):
+        raise ValueError(
+            f"box/r_cut = {box / r_cut:.1f} cannot host {D} x-slabs"
+        )
+    nxl = ncell // D  # real x-slabs per device
+    M = ncell + 2
+    base = 1.5 * cosmo.Omega_m * cosmo.H0**2
+    G = u.COSMO.G
+    eps2 = float(eps) ** 2
+
+    def local(pos_l, mass_l, a):
+        dtype = pos_l.dtype
+        n_loc = pos_l.shape[0]
+        d = jax.lax.axis_index(axis_name)
+
+        # ---- far field: sharded PM with the split filter --------------
+        grid = cic_deposit(pos_l, box, nmesh, weights=mass_l)
+        grid = jax.lax.psum(grid, axis_name)
+        total_mass = jax.lax.psum(jnp.sum(mass_l), axis_name)
+        delta_k = jnp.fft.rfftn(grid) / (total_mass / nmesh**3)
+        if deconvolve_p:
+            W = cic_window(nmesh, box, p=deconvolve_p, dtype=dtype)
+            delta_k = delta_k / jnp.maximum(W, 1e-8)
+        kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=dtype)
+        k2 = kx**2 + ky**2 + kz**2
+        amp = base / a
+        if split == "spline":
+            F = spline_longrange_filter(nmesh, box, float(r_cut), dtype)
+        else:
+            inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+            F = inv_k2 * jnp.exp(-k2 * float(r_s) ** 2)
+        phi_k = -amp * delta_k * F
+        gx, gy, gz = gradient_kernel(nmesh, box, grad_order, dtype)
+        shape = (nmesh,) * 3
+        from nbody.mesh.cic import cic_gather_vec
+
+        grids = jnp.stack(
+            [jnp.fft.irfftn(-1j * gj * phi_k, s=shape) for gj in (gx, gy, gz)]
+        )
+        acc_long = cic_gather_vec(grids, pos_l, box)
+
+        # ---- short range: slab-decomposed cell kernel -----------------
+        pos_g = jax.lax.all_gather(pos_l, axis_name).reshape(-1, 3)
+        mass_g = jax.lax.all_gather(mass_l, axis_name).reshape(-1)
+        n = pos_g.shape[0]
+        cap = capacity or cell_capacity(n, ncell)
+        plane, idx_pad, _overflow, K = build_padded_plane(
+            pos_g, mass_g, box, float(r_cut), ncell, cap
+        )
+        plane3 = plane.reshape(8, M, M * M * K)
+        local_plane = jax.lax.dynamic_slice_in_dim(
+            plane3, d * nxl, nxl + 2, axis=1
+        ).reshape(8, (nxl + 2) * M * M * K)
+        out = run_cell_plane(
+            local_plane, nx=nxl, ncell=ncell, K=K, eps2=eps2,
+            r_s=float(r_s), r_cut=float(r_cut), split=split,
+        )
+        idx3 = idx_pad.reshape(M, M, M, K)
+        idx_local = jax.lax.dynamic_slice_in_dim(idx3, d * nxl, nxl + 2, axis=0)
+        g1 = jnp.arange(nxl + 2)
+        g2 = jnp.arange(M)
+        lx, ly, lz = jnp.meshgrid(g1, g2, g2, indexing="ij")
+        interior = (
+            (lx >= 1) & (lx <= nxl) & (ly >= 1) & (ly <= ncell)
+            & (lz >= 1) & (lz <= ncell)
+        ).reshape(-1)
+        scatter_idx = jnp.where(
+            interior[:, None], idx_local.reshape(-1, K), n
+        )
+        acc_buckets = out[:3].reshape(3, -1).T
+        acc_partial = (
+            jnp.zeros((n + 1, 3), jnp.float32)
+            .at[scatter_idx.reshape(-1)]
+            .add(acc_buckets)[:n]
+        )
+        acc_short_g = jax.lax.psum(acc_partial, axis_name)
+        acc_short = jax.lax.dynamic_slice_in_dim(
+            acc_short_g, d * n_loc, n_loc, axis=0
+        ).astype(dtype) * (G / a)
+
+        return acc_long + acc_short
+
+    return _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P()),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )

@@ -386,6 +386,94 @@ def p3m_short_params(box: float, nmesh: int, n: int):
 # ---------------------------------------------------------------------------
 
 
+def build_padded_plane(pos, mass, box: float, r_cut: float, ncell: int,
+                       capacity: int):
+    """Bucket particles and assemble the ghost-padded SoA cell plane.
+
+    Returns (plane (8, (ncell+2)^3 * K), idx_pad ((ncell+2)^3, K),
+    overflow, K).  Plane rows are x, y, z, mass, 0, 0, 0, 0; ghost cells
+    replicate the periodic wrap with the +/-box shift baked into their
+    positions; padding bucket slots point at the zero-mass sentinel
+    particle with index n.
+    """
+    from nbody.mesh.cells import build_cell_list
+
+    n = pos.shape[0]
+    dtype = jnp.float32
+    K = -(-capacity // 128) * 128  # lane-align bucket width
+    cl = build_cell_list(pos.astype(dtype), box, ncell, capacity)
+    C3 = ncell**3
+    idx = jnp.concatenate(
+        [cl.indices, jnp.full((C3, K - capacity), n, jnp.int32)], axis=1
+    )
+    posw = jnp.mod(pos, box).astype(dtype)
+    pos_pad = jnp.concatenate([posw, jnp.full((1, 3), -4.0 * r_cut, dtype)], 0)
+    mass_pad = jnp.concatenate([mass.astype(dtype), jnp.zeros((1,), dtype)], 0)
+
+    M = ncell + 2
+    g = jnp.arange(M)
+    src1 = jnp.mod(g - 1, ncell)
+    shift1 = ((g - 1) // ncell).astype(dtype) * box
+    px, py, pz = jnp.meshgrid(g, g, g, indexing="ij")
+    src_cid = ((src1[px] * ncell + src1[py]) * ncell + src1[pz]).reshape(-1)
+    idx_pad = idx[src_cid]
+    bpos = pos_pad[idx_pad] + jnp.stack(
+        [shift1[px], shift1[py], shift1[pz]], axis=-1
+    ).reshape(-1, 1, 3)
+    plane = jnp.concatenate(
+        [
+            jnp.moveaxis(bpos, -1, 0),
+            mass_pad[idx_pad][None],
+            jnp.zeros((4, M**3, K), dtype),
+        ],
+        axis=0,
+    ).reshape(8, M**3 * K)
+    return plane, idx_pad, cl.overflow, K
+
+
+def run_cell_plane(
+    plane, *, nx: int, ncell: int, K: int, eps2: float, r_s: float,
+    r_cut: float, split: str = "gaussian", interpret: bool | None = None,
+):
+    """Run the cell-pair kernel over a (slab of a) ghost-padded plane.
+
+    ``plane``: (8, (nx+2) * M * M * K) with M = ncell + 2 — ``nx`` real
+    x-slabs plus one ghost/halo slab on each side (nx = ncell for the
+    whole box; the distributed slab decomposition passes nx = ncell/D
+    with ppermute-filled halos).  Returns an array of the same shape
+    whose rows 0..2 hold the accumulated accelerations for the interior
+    columns (ghost columns are unwritten).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    M = ncell + 2
+
+    def i_map(c2, o2):
+        return (0, (c2 // ncell + 1) * M + (c2 % ncell + 1))
+
+    def j_map(c2, o2):
+        return (
+            0,
+            (c2 // ncell + 1 + o2 // 3 - 1) * M + (c2 % ncell + 1 + o2 % 3 - 1),
+        )
+
+    return pl.pallas_call(
+        functools.partial(
+            _cell_kernel,
+            ncell=ncell, K=K, eps2=eps2, r_s=float(r_s), r_cut=float(r_cut),
+            split=split,
+        ),
+        grid=(nx * ncell, 9),
+        in_specs=[
+            pl.BlockSpec((8, M * K), i_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, M * K), j_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, M * K), i_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
+        interpret=interpret,
+    )(plane, plane)
+
+
 def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
                  split="gaussian"):
     """One ghost-padded z-column of cells vs one (ox, oy) neighbor column.
@@ -460,80 +548,26 @@ def p3m_short_cells_pallas(
 
     Returns (acc (N, 3), overflow) like p3m_short_cells.
     """
-    from nbody.mesh.cells import build_cell_list
-
     if box / ncell < r_cut - 1e-9:
         raise ValueError(
             f"cell size {box / ncell:.3f} < r_cut {r_cut:.3f}"
         )
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     n = pos.shape[0]
     dtype = jnp.float32
-    K = -(-capacity // 128) * 128  # lane-align bucket width
-    eps2 = float(eps) ** 2
-
-    cl = build_cell_list(pos.astype(dtype), box, ncell, capacity)
-    C3 = ncell**3
-    idx = jnp.concatenate(
-        [cl.indices, jnp.full((C3, K - capacity), n, jnp.int32)], axis=1
-    )  # (C3, K)
-
-    posw = jnp.mod(pos, box).astype(dtype)
-    pos_pad = jnp.concatenate([posw, jnp.full((1, 3), -4.0 * r_cut, dtype)], 0)
-    mass_pad = jnp.concatenate([mass.astype(dtype), jnp.zeros((1,), dtype)], 0)
-
-    # ONE ghost-padded plane: M^3 cells, M = ncell + 2; padded coord g maps
-    # to source cell (g-1) mod ncell with position shift box*floor((g-1)/n)
     M = ncell + 2
-    g = jnp.arange(M)
-    src1 = jnp.mod(g - 1, ncell)
-    shift1 = ((g - 1) // ncell).astype(dtype) * box
-    px, py, pz = jnp.meshgrid(g, g, g, indexing="ij")
-    src_cid = ((src1[px] * ncell + src1[py]) * ncell + src1[pz]).reshape(-1)
-    idx_pad = idx[src_cid]  # (M^3, K) — ghosts carry real particle ids
-    bpos = pos_pad[idx_pad]  # (M^3, K, 3)
-    shift = jnp.stack(
-        [shift1[px], shift1[py], shift1[pz]], axis=-1
-    ).reshape(-1, 1, 3)
-    bpos = bpos + shift
-    plane = jnp.concatenate(
-        [
-            jnp.moveaxis(bpos, -1, 0),  # (3, M^3, K)
-            mass_pad[idx_pad][None],  # (1, M^3, K)
-            jnp.zeros((4, M**3, K), dtype),
-        ],
-        axis=0,
-    ).reshape(8, M**3 * K)
 
-    def i_map(c2, o2):
-        return (0, (c2 // ncell + 1) * M + (c2 % ncell + 1))
-
-    def j_map(c2, o2):
-        pxc = c2 // ncell
-        pyc = c2 % ncell
-        ox = o2 // 3 - 1
-        oy = o2 % 3 - 1
-        return (0, (pxc + 1 + ox) * M + (pyc + 1 + oy))
-
-    out = pl.pallas_call(
-        functools.partial(
-            _cell_kernel,
-            ncell=ncell, K=K, eps2=eps2, r_s=float(r_s), r_cut=float(r_cut),
-            split=split,
-        ),
-        grid=(ncell * ncell, 9),
-        in_specs=[
-            pl.BlockSpec((8, M * K), i_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, M * K), j_map, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, M * K), i_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, M**3 * K), dtype),
-        interpret=interpret,
-    )(plane, plane)
+    plane, idx_pad, overflow, K = build_padded_plane(
+        pos, mass, box, r_cut, ncell, capacity
+    )
+    out = run_cell_plane(
+        plane, nx=ncell, ncell=ncell, K=K, eps2=float(eps) ** 2,
+        r_s=r_s, r_cut=r_cut, split=split, interpret=interpret,
+    )
 
     # scatter back: only real (interior) cells carry physics; unvisited
     # ghost columns hold garbage -> route them to the dropped sentinel row
+    g = jnp.arange(M)
+    px, py, pz = jnp.meshgrid(g, g, g, indexing="ij")
     interior = (
         (px >= 1) & (px <= ncell) & (py >= 1) & (py <= ncell)
         & (pz >= 1) & (pz <= ncell)
@@ -545,4 +579,4 @@ def p3m_short_cells_pallas(
         .at[scatter_idx.reshape(-1)]
         .add(acc_buckets)[:n]
     )
-    return G * acc.astype(pos.dtype), cl.overflow
+    return G * acc.astype(pos.dtype), overflow

@@ -117,3 +117,62 @@ class TestProfiling:
         from nbody.diagnostics import pairwise_interactions
 
         assert pairwise_interactions(10, steps=5) == 100 * 6
+
+
+class TestShardedP3M:
+    def test_matches_single_device(self):
+        """Slab-decomposed P3M == single-device P3M (f32 tolerance)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nbody.core import units as u
+        from nbody.core.cosmology import Cosmology
+        from nbody.distributed.sharding import (
+            device_mesh,
+            make_sharded_p3m_cosmo_force,
+        )
+        from nbody.forces.p3m import p3m_acc
+
+        cosmo = Cosmology()
+        # box=80, nmesh=48 -> r_cut=9.375 -> ncell=8 == axis size
+        n, box, nmesh = 2048, 80.0, 48
+        rho_crit = 3.0 * cosmo.H0**2 / (8.0 * np.pi * u.COSMO.G)
+        pmass = float(rho_crit * cosmo.Omega_m * box**3 / n)
+        rng = np.random.default_rng(4)
+        pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+        mass = jnp.full((n,), pmass, jnp.float32)
+        mesh = device_mesh(8)
+        sh = NamedSharding(mesh, P("shard"))
+        fn = make_sharded_p3m_cosmo_force(
+            cosmo, box, nmesh, mesh, eps=0.1, split="spline"
+        )
+        g = jax.jit(fn)(
+            jax.device_put(pos, sh), jax.device_put(mass, sh),
+            jnp.asarray(0.5, jnp.float32),
+        )
+        ref = p3m_acc(
+            pos, mass, box, nmesh, G=u.COSMO.G, eps=0.1,
+            shortrange="cells", split="spline",
+        ) / 0.5
+        gg, rr = np.asarray(g), np.asarray(ref)
+        rel = np.linalg.norm(gg - rr, axis=-1) / np.maximum(
+            np.linalg.norm(rr, axis=-1), 1e-12
+        )
+        assert np.median(rel) < 1e-5 and rel.max() < 1e-4
+        assert g.sharding.spec == P("shard")
+
+    def test_rejects_too_few_slabs(self):
+        import pytest
+
+        from nbody.core.cosmology import Cosmology
+        from nbody.distributed.sharding import (
+            device_mesh,
+            make_sharded_p3m_cosmo_force,
+        )
+
+        with pytest.raises(ValueError):
+            make_sharded_p3m_cosmo_force(
+                Cosmology(), 50.0, 16, device_mesh(8), eps=0.1
+            )
