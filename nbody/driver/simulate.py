@@ -235,12 +235,33 @@ def run_simulation(
         )
     bounds = sorted(i for i in bounds if i > start_idx)
 
+    log_path = os.path.join(workdir, "run.log") if workdir else None
+
+    def log(msg: str) -> None:
+        # CONCEPT-style per-phase run log (the reference's per-run
+        # captured stdout logs, SURVEY.md §5.5)
+        if log_path:
+            with open(log_path, "a") as f:
+                f.write(msg + "\n")
+
+    log(
+        f"nbody run: solver={config.solver} N={config.n_particles} "
+        f"box={config.box:g} Mpc mesh={config.mesh_size} "
+        f"a={config.a_begin:g}->{config.a_end:g} in {config.n_steps} steps "
+        f"(seed={seed}, start_idx={start_idx})"
+    )
     meta_of = lambda a: SnapshotMeta.from_cosmology(cosmo, config.box, a=a)
     with AsyncSnapshotWriter() as writer:
         prev = start_idx
         for idx in bounds:
+            t_seg = time.perf_counter()
             state = run_cosmological(
                 state, cosmo, a_grid[prev : idx + 1], acc_fn, config.box
+            )
+            jax.block_until_ready(state.pos)
+            log(
+                f"Time step {idx:4d}   a = {a_grid[idx]:.4f}   "
+                f"({idx - prev} steps in {time.perf_counter() - t_seg:.2f} s)"
             )
             if idx in out_idx and workdir:
                 a = float(a_grid[idx])
@@ -249,10 +270,12 @@ def run_simulation(
                     spath = os.path.join(workdir, "snapshots", f"snapshot_{tag}.hdf5")
                     writer.submit(spath, state, meta_of(a))
                     snapshots.append(spath)
+                    log(f"Snapshot queued: {spath}")
                 if config.output.powerspec:
                     ppath = os.path.join(workdir, "powerspec", f"powerspec_{tag}")
                     measure_powerspec(state.pos, config, a, path=ppath)
                     powerspecs.append(ppath)
+                    log(f"Power spectrum written: {ppath}")
             if checkpoint_every_steps and workdir and idx < len(a_grid) - 1:
                 save_checkpoint(
                     os.path.join(workdir, "autosave", "checkpoint.npz"),

@@ -163,3 +163,12 @@ class TestCLI:
         assert rc == 0
         saved = SimulationConfig.load(str(tmp_path / "o" / "config.json"))
         assert saved.solver == "p3m" and saved.n_side == 8
+
+
+def test_run_log_written(tmp_path):
+    """CONCEPT-style per-phase run log (SURVEY.md §5.5)."""
+    run_simulation(TINY, seed=0, workdir=str(tmp_path))
+    log = (tmp_path / "run.log").read_text()
+    assert "solver=pm" in log
+    assert "Time step" in log
+    assert "Power spectrum written" in log
