@@ -125,14 +125,38 @@ def measure_powerspec(
     pos, config: SimulationConfig, a: float, path: str | None = None
 ):
     """CIC deposit -> P(k) of a particle snapshot; optionally write the
-    CONCEPT-format text file with corrected + linear columns."""
+    CONCEPT-format text file with corrected + linear columns.
+
+    With ``config.interlace`` the deposit uses two half-cell-shifted grids
+    combined in k space — CONCEPT's "second interlacing pass"
+    (reference `SnapVsPK/Uncertain.param` interlace (True, True));
+    the corrected column always divides out the CIC window.
+    """
+    from nbody.mesh.cic import cic_deposit_interlaced_k
+
     nmesh = config.mesh_size
-    grid = cic_deposit(pos, config.box, nmesh)
-    delta = density_to_delta(grid, pos.shape[0])
-    raw = power_spectrum(delta, config.box, n_bins=config.output.powerspec_bins)
-    corr = power_spectrum(
-        delta, config.box, n_bins=config.output.powerspec_bins, deconvolve_p=1
-    )
+    if config.interlace:
+        rho_k = cic_deposit_interlaced_k(pos, config.box, nmesh)
+        delta_k = rho_k / (pos.shape[0] / nmesh**3)
+        delta_k = delta_k.at[0, 0, 0].set(0.0)
+        raw = power_spectrum(
+            delta_k, config.box, n_bins=config.output.powerspec_bins,
+            is_fourier=True,
+        )
+        corr = power_spectrum(
+            delta_k, config.box, n_bins=config.output.powerspec_bins,
+            deconvolve_p=1, is_fourier=True,
+        )
+    else:
+        grid = cic_deposit(pos, config.box, nmesh)
+        delta = density_to_delta(grid, pos.shape[0])
+        raw = power_spectrum(
+            delta, config.box, n_bins=config.output.powerspec_bins
+        )
+        corr = power_spectrum(
+            delta, config.box, n_bins=config.output.powerspec_bins,
+            deconvolve_p=1,
+        )
     k = np.asarray(raw.k)
     modes = np.asarray(raw.n_modes)
     cosmo = config.cosmology()

@@ -172,3 +172,27 @@ def test_run_log_written(tmp_path):
     assert "solver=pm" in log
     assert "Time step" in log
     assert "Power spectrum written" in log
+
+
+def test_interlaced_powerspec(tmp_path):
+    """Interlacing (CONCEPT's second pass) agrees with the plain deposit
+    at low k and yields finite spectra."""
+    from nbody.driver.simulate import measure_powerspec, realize_ics
+
+    cfg = TINY.replace(n_side=16, pm_grid=32, box=300.0)
+    state = realize_ics(cfg, seed=5)
+    pos = np.asarray(state.pos)
+    k0, m0, P0, Pc0, _ = measure_powerspec(pos, cfg, a=cfg.a_begin)
+    k1, m1, P1, Pc1, _ = measure_powerspec(
+        pos, cfg.replace(interlace=True), a=cfg.a_begin
+    )
+    assert np.isfinite(P1).all() and (P1[m1 > 0] >= 0).all()
+    # well below the particle Nyquist (pi*16/300 = 0.17) the alias
+    # correction is small: spectra agree
+    low = (k0 < 0.05) & (m0 > 4)
+    ratio = Pc1[low] / Pc0[low]
+    assert low.sum() >= 1
+    assert np.all(ratio > 0.9) and np.all(ratio < 1.05)
+    # near/above the particle Nyquist interlacing REMOVES alias power
+    high = k0 > 0.2
+    assert np.all(Pc1[high] <= Pc0[high] + 1e-12)
