@@ -61,6 +61,9 @@ class SimulationConfig:
     interlace: bool = False
     force_split: str = "gaussian"  # P3M split: 'gaussian' | 'spline'
     # ('spline' is the faster production kernel — see nbody.forces.p3m)
+    cell_capacity: int = 0  # P3M cell-list bucket capacity; 0 = auto
+    # (raise for strongly clustered late-time states — run.log reports
+    # overflow after each run)
 
     # -- time stepping -------------------------------------------------------
     a_begin: float = 0.02

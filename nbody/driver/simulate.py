@@ -74,6 +74,7 @@ def build_cosmo_force(config: SimulationConfig) -> Callable:
             pos, mass, box, nmesh, G=G, eps=eps,
             deconvolve_p=config.deconvolve_p, interlace=config.interlace,
             split=config.force_split,
+            capacity=config.cell_capacity or None,
         )
         return acc / jnp.asarray(a, pos.dtype)
 
@@ -307,6 +308,19 @@ def run_simulation(
                     {"grid_index": idx, "seed": seed, "a": float(a_grid[idx])},
                 )
             prev = idx
+
+    if config.solver == "p3m" and config.n_particles > 65536:
+        # clustering check: over-full cells silently lose short-range
+        # force; report so the user can raise config.cell_capacity
+        from nbody.forces.p3m import p3m_cell_overflow
+
+        ov = p3m_cell_overflow(
+            state.pos, config.box, config.mesh_size,
+            capacity=config.cell_capacity or None,
+        )
+        log(f"P3M cell overflow at a={float(state.time):.3f}: {ov} particles")
+        if ov:
+            log("WARNING: raise SimulationConfig.cell_capacity and rerun")
 
     return SimulationResult(
         state=state,

@@ -202,6 +202,7 @@ def p3m_acc(
     interpret: bool | None = None,
     shortrange: str = "auto",
     split: str = "gaussian",
+    capacity: int | None = None,
 ):
     """Full P3M acceleration: filtered PM far field + short-range
     correction.
@@ -242,7 +243,8 @@ def p3m_acc(
         from nbody.mesh.cells import cell_capacity
 
         ncell = int(box / float(r_cut))
-        capacity = cell_capacity(n, ncell)
+        if capacity is None:
+            capacity = cell_capacity(n, ncell)
         acc_short, _overflow = p3m_short_cells_pallas(
             pos, mass, box, float(eps), float(r_s), float(r_cut), G=G,
             ncell=ncell, capacity=capacity, split=split,
@@ -580,3 +582,23 @@ def p3m_short_cells_pallas(
         .add(acc_buckets)[:n]
     )
     return G * acc.astype(pos.dtype), overflow
+
+
+def p3m_cell_overflow(pos, box: float, nmesh: int, capacity: int | None = None) -> int:
+    """Diagnostic: particles whose cell bucket would overflow for the
+    auto (or given) capacity at this configuration — clustered late-time
+    states can exceed the Poisson-based default.  Call outside the jitted
+    stepping loop (e.g. after a run segment) and raise
+    ``SimulationConfig.cell_capacity`` if nonzero."""
+    from nbody.mesh.cells import build_cell_list, cell_capacity
+
+    n = pos.shape[0]
+    cell = box / nmesh
+    r_cut = 4.5 * 1.25 * cell
+    ncell = int(box / r_cut)
+    if ncell < 3:
+        return 0
+    if capacity is None:
+        capacity = cell_capacity(n, ncell)
+    cl = build_cell_list(jnp.asarray(pos), box, ncell, capacity)
+    return int(cl.overflow)
