@@ -25,3 +25,7 @@ __all__ = [
     "relative_error",
     "resolution_study",
 ]
+
+from nbody.analysis.compare import ensemble_scatter
+
+__all__ += ["ensemble_scatter"]

@@ -205,3 +205,63 @@ def resolution_study(
         fig.savefig(fig_path, dpi=120)
         plt.close(fig)
     return out
+
+
+def ensemble_scatter(
+    ensemble_root, config=None, fig_path: str | None = None
+):
+    """Realization scatter of P(k) across an ensemble's run dirs.
+
+    The purpose of the reference's `SnapVsPK/Ucertain.py` study: many runs
+    differing only in random seeds quantify the sample variance band of
+    the measured spectrum.  Reads each member's final powerspec file and
+    returns (k, mean P, std P, n_members); optionally plots the band
+    against the linear spectrum.
+    """
+    import os
+
+    from nbody.io.powerspec import read_powerspec
+
+    spectra = []
+    k_ref = None
+    for d in sorted(os.listdir(ensemble_root)):
+        psdir = os.path.join(ensemble_root, d, "powerspec")
+        if not os.path.isdir(psdir):
+            continue
+        files = sorted(os.listdir(psdir))
+        if not files:
+            continue
+        t = read_powerspec(os.path.join(psdir, files[-1]))
+        good = t.modes > 0
+        if k_ref is None:
+            k_ref = t.k[good]
+        P = t.P_corrected if t.P_corrected is not None else t.P
+        spectra.append(np.interp(k_ref, t.k[good], P[good]))
+    if not spectra:
+        raise ValueError(f"no powerspec files under {ensemble_root}")
+    S = np.vstack(spectra)
+    mean, std = S.mean(0), S.std(0)
+
+    if fig_path:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 5))
+        ax.fill_between(k_ref, mean - std, mean + std, alpha=0.3,
+                        label=f"±1σ over {len(S)} runs")
+        ax.loglog(k_ref, mean, lw=1.5, label="ensemble mean")
+        if config is not None:
+            import jax.numpy as jnp
+
+            cosmo = config.cosmology()
+            Pl = np.asarray(cosmo.linear_power(jnp.asarray(k_ref), a=config.a_end))
+            ax.loglog(k_ref, Pl, "k--", lw=1, label="linear theory")
+        ax.set(xlabel=r"$k$ [Mpc$^{-1}$]", ylabel=r"$P(k)$ [Mpc$^3$]",
+               title="realization scatter")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(fig_path, dpi=120)
+        plt.close(fig)
+    return k_ref, mean, std, len(S)

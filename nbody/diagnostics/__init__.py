@@ -28,3 +28,15 @@ from nbody.diagnostics.profiling import (
 )
 
 __all__ += ["StepTimer", "benchmark_fn", "pairwise_interactions", "trace"]
+
+from nbody.diagnostics.layzer_irvine import (
+    layzer_irvine_residual,
+    peculiar_energies,
+    run_cosmological_with_diagnostics,
+)
+
+__all__ += [
+    "layzer_irvine_residual",
+    "peculiar_energies",
+    "run_cosmological_with_diagnostics",
+]

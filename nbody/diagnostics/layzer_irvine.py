@@ -1,0 +1,164 @@
+"""Layzer-Irvine cosmic energy diagnostics.
+
+The reference has NO energy diagnostics at all (SURVEY.md §5.5); the
+static-space drift tracker lives in nbody.diagnostics.energy.  For
+*comoving* integrations energy is not conserved — it obeys the
+Layzer-Irvine equation
+
+    d(T + W)/dt = -H (2T + W),
+
+with T = 1/2 sum m v_pec^2 the peculiar kinetic energy and W the
+peculiar-potential energy (phi solving lap phi = (3/2) Omega_m H0^2
+delta / a in comoving coordinates — exactly this framework's PM
+potential).  The conserved functional is
+
+    C(a) = T + W + int (2T + W) dln a,
+
+so |C(a) - C(a0)| / |W| is the cosmological analogue of |dE/E|.
+
+Caveats (measured, see tests): the PM self-energy is subtracted per
+particle with an offset-dependent table (the CIC round-trip varies ~4x
+across a cell), and the residual floor is NOT set by the time step — a
+momentum-conserving PM force (differentiate-then-interpolate) is not the
+exact gradient of the sampled potential functional, and a particle
+lattice coarser than the mesh carries discreteness energy the isolated
+self-term cannot model.  With mesh == particle lattice the residual
+floor is a few % over a = 0.02 -> 1; time-stepping errors appear on top
+of it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody.core.cosmology import Cosmology
+from nbody.core.types import ParticleState
+from nbody.forces.pm import pm_potential_k
+from nbody.mesh.cic import cic_gather
+
+
+@functools.lru_cache(maxsize=8)
+def _self_potential_table(box: float, nmesh: int, res: int = 6):
+    """Unit self-potential vs sub-cell offset, (res, res, res) table.
+
+    The PM round-trip (CIC deposit -> deconvolve -> gather) of a particle
+    onto itself depends strongly on its offset within a mesh cell (the
+    deconvolution amplifies alias images: ~4x between a grid point and a
+    cell centre), so the spurious self-energy must be subtracted per
+    particle via this periodic table (trilinear-interpolated)."""
+    import numpy as np
+
+    cell = box / nmesh
+    vals = np.zeros((res, res, res))
+    for i in range(res):
+        for j in range(res):
+            for k in range(res):
+                f = np.array([i, j, k]) / res
+                x0 = jnp.asarray((f * cell + 5 * cell)[None, :])
+                phi_k = pm_potential_k(x0, jnp.ones((1,)), box, nmesh)
+                phi = jnp.fft.irfftn(phi_k, s=(nmesh,) * 3)
+                vals[i, j, k] = float(cic_gather(phi, x0, box)[0]) / nmesh**3
+    return jnp.asarray(vals)
+
+
+def _self_potential_per_particle(pos, box: float, nmesh: int, res: int = 6):
+    """Periodic trilinear lookup of the offset-dependent unit self term."""
+    tab = _self_potential_table(box, nmesh, res)
+    frac = jnp.mod(pos * (nmesh / box), 1.0) * res  # in table units
+    i0 = jnp.floor(frac).astype(jnp.int32)
+    f = frac - i0
+    out = jnp.zeros(pos.shape[:1], tab.dtype)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (f[:, 0] if dx else 1 - f[:, 0])
+                    * (f[:, 1] if dy else 1 - f[:, 1])
+                    * (f[:, 2] if dz else 1 - f[:, 2])
+                )
+                ix = jnp.mod(i0[:, 0] + dx, res)
+                iy = jnp.mod(i0[:, 1] + dy, res)
+                iz = jnp.mod(i0[:, 2] + dz, res)
+                out = out + w * tab[ix, iy, iz]
+    return out
+
+
+def peculiar_energies(state: ParticleState, cosmo: Cosmology, box: float,
+                      nmesh: int):
+    """(T, W) of a comoving state (vel = canonical momentum a^2 dx/dt).
+
+    T = 1/2 sum m (vel / a)^2;  W = 1/2 sum m phi(x) with the PM
+    potential at the state's scale factor, self-energy subtracted
+    (pm_potential_k normalises by the mean cell mass, so particle i's
+    own contribution to its gathered phi is unit_self * N^3 * m_i / M).
+    """
+    a = state.time.astype(state.pos.dtype)
+    v_pec = state.vel / a
+    T = 0.5 * jnp.sum(state.mass * jnp.sum(v_pec * v_pec, axis=-1))
+    amp = 1.5 * cosmo.Omega_m * cosmo.H0**2 / a
+    phi_k = pm_potential_k(state.pos, state.mass, box, nmesh) * amp
+    phi = jnp.fft.irfftn(phi_k, s=(nmesh,) * 3)
+    W_raw = 0.5 * jnp.sum(state.mass * cic_gather(phi, state.pos, box))
+    # per-particle, offset-dependent self-energy (scaled by the mean-cell
+    # normalisation inside pm_potential_k)
+    u = _self_potential_per_particle(jnp.mod(state.pos, box), box, nmesh)
+    W_self = (
+        0.5 * amp * nmesh**3 / jnp.sum(state.mass)
+        * jnp.sum(state.mass**2 * u)
+    )
+    return T, W_raw - W_self
+
+
+def layzer_irvine_residual(a, T, W):
+    """Max |C(a) - C(a_0)| / max|W| over a sampled trajectory.
+
+    ``a, T, W``: arrays sampled along the run (a ascending).  The
+    integral term uses trapezoid in ln a.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    T = np.asarray(T, dtype=np.float64)
+    W = np.asarray(W, dtype=np.float64)
+    lna = np.log(a)
+    integrand = 2.0 * T + W
+    integral = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (integrand[1:] + integrand[:-1]) * np.diff(lna))]
+    )
+    C = T + W + integral
+    return float(np.max(np.abs(C - C[0])) / np.max(np.abs(W)))
+
+
+def run_cosmological_with_diagnostics(
+    state: ParticleState,
+    cosmo: Cosmology,
+    a_grid,
+    acc_fn,
+    box: float,
+    nmesh: int,
+    diag_every: int = 1,
+):
+    """run_cosmological + (a, T, W) samples every ``diag_every`` steps.
+
+    Returns (final_state, a_samples, T_samples, W_samples) with the
+    initial state included as sample 0.
+    """
+    from nbody.integrate.cosmo_stepping import run_cosmological
+
+    a_grid = np.asarray(a_grid, dtype=np.float64)
+    a_s, T_s, W_s = [], [], []
+
+    def sample(st):
+        T, W = peculiar_energies(st, cosmo, box, nmesh)
+        a_s.append(float(st.time))
+        T_s.append(float(T))
+        W_s.append(float(W))
+
+    sample(state)
+    for lo in range(0, len(a_grid) - 1, diag_every):
+        hi = min(lo + diag_every, len(a_grid) - 1)
+        state = run_cosmological(state, cosmo, a_grid[lo : hi + 1], acc_fn, box)
+        sample(state)
+    return state, np.array(a_s), np.array(T_s), np.array(W_s)

@@ -86,3 +86,18 @@ class TestStudies:
         assert set(out) == {8, 16}
         assert out[16]["k_ny"] > out[8]["k_ny"]
         assert os.path.exists(fig)
+
+
+def test_ensemble_scatter(tmp_path):
+    """SnapVsPK-style realization scatter across an ensemble."""
+    from nbody.analysis import ensemble_scatter
+    from nbody.driver import run_ensemble
+
+    root = str(tmp_path / "ens")
+    run_ensemble(TINY, 3, workdir=root, master_seed=7)
+    fig = str(tmp_path / "scatter.png")
+    k, mean, std, n = ensemble_scatter(root, config=TINY, fig_path=fig)
+    assert n == 3
+    assert (mean >= 0).all() and (std >= 0).all()
+    assert std[mean > 0].max() > 0  # different seeds -> nonzero scatter
+    assert os.path.exists(fig)
