@@ -18,9 +18,15 @@ TINY = PipelineConfig(
 )
 
 
-def test_main_pipeline(tmp_path):
-    d = str(tmp_path)
-    results = main_pipeline(TINY, d)
+@pytest.fixture(scope="module")
+def pipeline_run(tmp_path_factory):
+    """One shared tiny pipeline execution (it costs minutes)."""
+    d = str(tmp_path_factory.mktemp("pipe"))
+    return d, main_pipeline(TINY, d)
+
+
+def test_main_pipeline(pipeline_run):
+    d, results = pipeline_run
     for name in TINY.experiments:
         assert name in results
         r = results[name]
@@ -36,11 +42,10 @@ def test_main_pipeline(tmp_path):
     assert os.path.exists(os.path.join(d, "pipeline_results.json"))
 
 
-def test_same_parameter_draws_across_sources(tmp_path):
+def test_same_parameter_draws_across_sources(pipeline_run):
     """CLASS2SIM compares like-for-like: linear and sim test sets use the
     same pinned A_s draws (reference seeds 420/39)."""
-    d = str(tmp_path)
-    main_pipeline(TINY, d)
+    d, _ = pipeline_run
     lin = np.loadtxt(os.path.join(d, "linear", "TestParams.txt"), skiprows=1, ndmin=2)
     sim = np.loadtxt(os.path.join(d, "sim", "TestParams.txt"), skiprows=1, ndmin=2)
     np.testing.assert_allclose(lin[:, 0], sim[:, 0], rtol=1e-12)
