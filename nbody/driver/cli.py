@@ -190,6 +190,38 @@ def cmd_train(args) -> int:
     return train_from_cli(args)
 
 
+def cmd_sweep(args) -> int:
+    import numpy as np
+
+    from nbody.emulator.data import DeltaDataset
+    from nbody.emulator.model import max_conv_blocks
+    from nbody.emulator.train import run_sweep
+
+    train_ds = DeltaDataset.from_directory(args.data_dir, "train")
+    val_ds = DeltaDataset.from_directory(args.data_dir, "val")
+    test_ds = DeltaDataset.from_directory(args.data_dir, "test")
+    out = run_sweep(
+        dict(
+            n_out=train_ds.y.shape[1],
+            n_conv=min(2, max_conv_blocks(train_ds.dim)),
+        ),
+        train_ds, val_ds, test_ds,
+        batch_sizes=tuple(args.batch_sizes),
+        lrs=tuple(args.lrs),
+        epochs_list=tuple(args.epochs),
+        out_dir=args.output,
+        seed=args.seed,
+    )
+    print(
+        json.dumps(
+            {k: np.asarray(v).tolist() for k, v in out.items()}
+            | {"batch_sizes": args.batch_sizes, "lrs": args.lrs,
+               "epochs": args.epochs}
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="nbody", description="TPU-native cosmological N-body framework"
@@ -248,6 +280,17 @@ def main(argv=None) -> int:
     )
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser(
+        "sweep", help="hyperparameter grid sweep for the emulator"
+    )
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--batch-sizes", type=int, nargs="+", default=[16])
+    p.add_argument("--lrs", type=float, nargs="+", default=[4e-3])
+    p.add_argument("--epochs", type=int, nargs="+", default=[100])
+    p.add_argument("--output", default="sweep_out")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("train", help="train the CNN emulator")
     p.add_argument("--data-dir", required=True)

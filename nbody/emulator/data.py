@@ -81,6 +81,10 @@ def create_linear_dataset(
     cosmo: Cosmology | None = None,
     A_s_min: float = 2.1e-9,
     A_s_max: float = 2.1e-9,
+    n_s_min: float | None = None,
+    n_s_max: float | None = None,
+    omega_cdm_min: float | None = None,
+    omega_cdm_max: float | None = None,
     val_size: float = 0.2,
     test: bool = False,
     noise_frac: float = 0.0,
@@ -100,13 +104,21 @@ def create_linear_dataset(
     a = 1.0 / (1.0 + z)
     draw_seed = TEST_DRAW_SEED if test else TRAIN_DRAW_SEED
     rng = np.random.default_rng(draw_seed)
-    A_s = (
-        rng.uniform(A_s_min, A_s_max, n_samples)
-        if A_s_max != A_s_min
-        else np.full(n_samples, A_s_min)
-    )
-    labels = np.column_stack(
-        [A_s, np.full(n_samples, cosmo.n_s), np.full(n_samples, cosmo.omega_cdm)]
+
+    def draw(lo, hi, default):
+        lo = default if lo is None else lo
+        hi = default if hi is None else hi
+        return (
+            rng.uniform(lo, hi, n_samples) if hi != lo
+            else np.full(n_samples, lo)
+        )
+
+    A_s = draw(A_s_min, A_s_max, cosmo.A_s)
+    n_s = draw(n_s_min, n_s_max, cosmo.n_s)
+    omega_cdm = draw(omega_cdm_min, omega_cdm_max, cosmo.omega_cdm)
+    labels = np.column_stack([A_s, n_s, omega_cdm])
+    vary_shape = (n_s_max is not None and n_s_max != n_s_min) or (
+        omega_cdm_max is not None and omega_cdm_max != omega_cdm_min
     )
 
     sub = TEST_DIR if test else TRAIN_DIR
@@ -114,11 +126,6 @@ def create_linear_dataset(
     os.makedirs(os.path.join(savepath, sub), exist_ok=True)
 
     spec = GRFSpec(nmesh=nmesh, box=box)
-    power = _cached_power(cosmo)
-    # amplitude folds the A_s ratio AND the growth to redshift z
-    growth2 = float(cosmo.growth_D(a)) ** 2
-    amps = A_s / cosmo.A_s * growth2
-
     paths = [
         os.path.join(savepath, sub, f"{stem}{i + 1}.npy") for i in range(n_samples)
     ]
@@ -126,18 +133,49 @@ def create_linear_dataset(
         i for i in range(n_samples) if overwrite or not os.path.exists(paths[i])
     ]  # resume-by-skip (`Cosmo data create (new).py:152-154`)
     keys = jax.random.split(jax.random.key(master_seed), n_samples)
-    for lo in range(0, len(todo), batch):
-        idx = todo[lo : lo + batch]
-        vols = _realize_batch(
-            keys[np.asarray(idx)],
-            jnp.asarray(amps[np.asarray(idx)], jnp.float32),
-            spec,
-            power,
-            noise_frac=noise_frac,
+
+    if not vary_shape:
+        # amplitude-only variation: one compiled program for all samples
+        # (A_s enters as a traced multiplier; growth folds redshift z).
+        # constant-but-overridden shape parameters still enter the cosmology
+        import dataclasses as _dc
+
+        cosmo = _dc.replace(
+            cosmo, n_s=float(n_s[0]), omega_cdm=float(omega_cdm[0])
         )
-        vols = np.asarray(vols, dtype=np.float32)
-        for j, i in enumerate(idx):
-            np.save(paths[i], vols[j])
+        power = _cached_power(cosmo)
+        growth2 = float(cosmo.growth_D(a)) ** 2
+        amps = A_s / cosmo.A_s * growth2
+        for lo in range(0, len(todo), batch):
+            idx = todo[lo : lo + batch]
+            vols = _realize_batch(
+                keys[np.asarray(idx)],
+                jnp.asarray(amps[np.asarray(idx)], jnp.float32),
+                spec,
+                power,
+                noise_frac=noise_frac,
+            )
+            vols = np.asarray(vols, dtype=np.float32)
+            for j, i in enumerate(idx):
+                np.save(paths[i], vols[j])
+    else:
+        # n_s / omega_cdm change the transfer-function SHAPE: one power
+        # callable (and jit trace) per sample — the price of full
+        # parameter variation (the reference recomputes CLASS per sample)
+        import dataclasses as _dc
+
+        for i in todo:
+            ci = _dc.replace(
+                cosmo, A_s=float(A_s[i]), n_s=float(n_s[i]),
+                omega_cdm=float(omega_cdm[i]),
+            )
+            power = _cached_power(ci)
+            growth2 = float(ci.growth_D(a)) ** 2
+            vols = _realize_batch(
+                keys[i][None], jnp.asarray([growth2], jnp.float32),
+                spec, power, noise_frac=noise_frac,
+            )
+            np.save(paths[i], np.asarray(vols[0], dtype=np.float32))
 
     # sidecars
     write_box_params(os.path.join(savepath, "BoxParams.txt"), BoxParams(z, box, nmesh))
@@ -145,8 +183,8 @@ def create_linear_dataset(
         os.path.join(savepath, "MaxMinParams.txt"),
         MaxMinParams(
             float(A_s.min()), float(A_s.max()),
-            cosmo.n_s, cosmo.n_s,
-            cosmo.omega_cdm, cosmo.omega_cdm,
+            float(n_s.min()), float(n_s.max()),
+            float(omega_cdm.min()), float(omega_cdm.max()),
             n_samples,
         ),
     )

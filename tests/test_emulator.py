@@ -258,3 +258,51 @@ class TestTraining:
         assert "best_val_loss" in info and "test" in info
         assert os.path.exists(str(tmp_path / "out" / "params.msgpack"))
         assert os.path.exists(str(tmp_path / "out" / "train_result.json"))
+
+
+class TestMultiParameterDatasets:
+    def test_vary_all_three(self, tmp_path):
+        """Full (A_s, n_s, omega_cdm) variation — C15's general signature."""
+        root = str(tmp_path / "d3")
+        labels = create_linear_dataset(
+            root, 6, z=0.0, box=200.0, nmesh=8,
+            A_s_min=1.8e-9, A_s_max=2.4e-9,
+            n_s_min=0.92, n_s_max=1.0,
+            omega_cdm_min=0.10, omega_cdm_max=0.14,
+            val_size=0.5,
+        )
+        assert labels.shape == (6, 3)
+        assert np.ptp(labels[:, 1]) > 0 and np.ptp(labels[:, 2]) > 0
+        train = DeltaDataset.from_directory(root, "train")
+        assert train.y.shape == (3, 3)  # all three params vary
+        assert len(train.maxima) == 3
+
+    def test_shape_parameters_change_field(self, tmp_path):
+        """Different omega_cdm -> different transfer -> different delta."""
+        r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+        create_linear_dataset(r1, 1, z=0.0, box=200.0, nmesh=16,
+                              omega_cdm_min=0.08, omega_cdm_max=0.08)
+        create_linear_dataset(r2, 1, z=0.0, box=200.0, nmesh=16,
+                              omega_cdm_min=0.16, omega_cdm_max=0.16)
+        v1 = np.load(os.path.join(r1, "Training & val data", "delta_train_id-1.npy"))
+        v2 = np.load(os.path.join(r2, "Training & val data", "delta_train_id-1.npy"))
+        assert not np.allclose(v1, v2)
+        # same phases though: fields are correlated
+        c = np.corrcoef(v1.ravel(), v2.ravel())[0, 1]
+        assert c > 0.8
+
+
+def test_cli_sweep(tmp_path, capsys):
+    """C27: hyperparameter grid sweep via the CLI."""
+    from nbody.driver.cli import main
+
+    root, _ = _make_dataset(tmp_path, n=8, nmesh=8)
+    rc = main(
+        ["sweep", "--data-dir", root, "--batch-sizes", "4",
+         "--lrs", "1e-3", "3e-3", "--epochs", "2",
+         "--output", str(tmp_path / "sw")]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.asarray(info["A_dev"]).shape == (1, 2, 1)
+    assert os.path.exists(str(tmp_path / "sw" / "sweep_A_dev.npy"))
