@@ -29,3 +29,11 @@ __all__ = [
 from nbody.analysis.compare import ensemble_scatter
 
 __all__ += ["ensemble_scatter"]
+
+from nbody.analysis.render import (
+    density_projection,
+    render_snapshot,
+    save_density_image,
+)
+
+__all__ += ["density_projection", "render_snapshot", "save_density_image"]

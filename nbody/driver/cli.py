@@ -190,6 +190,15 @@ def cmd_train(args) -> int:
     return train_from_cli(args)
 
 
+def cmd_render(args) -> int:
+    from nbody.analysis.render import render_snapshot
+
+    out = args.output or args.snapshot.rsplit(".", 1)[0] + ".png"
+    render_snapshot(args.snapshot, out, res=args.res, axis=args.axis)
+    print(json.dumps({"snapshot": args.snapshot, "image": out}))
+    return 0
+
+
 def cmd_sweep(args) -> int:
     import numpy as np
 
@@ -280,6 +289,13 @@ def main(argv=None) -> int:
     )
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("render", help="density image from a snapshot")
+    p.add_argument("snapshot")
+    p.add_argument("--output", default=None, help="PNG path")
+    p.add_argument("--res", type=int, default=512)
+    p.add_argument("--axis", type=int, default=2, choices=(0, 1, 2))
+    p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser(
         "sweep", help="hyperparameter grid sweep for the emulator"

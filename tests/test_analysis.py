@@ -101,3 +101,27 @@ def test_ensemble_scatter(tmp_path):
     assert (mean >= 0).all() and (std >= 0).all()
     assert std[mean > 0].max() > 0  # different seeds -> nonzero scatter
     assert os.path.exists(fig)
+
+
+def test_render(tmp_path):
+    """Density-projection rendering from state and snapshot."""
+    from nbody.analysis import density_projection, save_density_image
+    from nbody.driver.cli import main
+    from nbody.driver.simulate import realize_ics
+
+    state = realize_ics(TINY, seed=1)
+    img = np.asarray(density_projection(state.pos, TINY.box, res=32))
+    assert img.shape == (32, 32)
+    # CIC projection conserves total weight
+    assert img.sum() == pytest.approx(state.n, rel=1e-5)
+    p = str(tmp_path / "d.png")
+    save_density_image(np.asarray(state.pos), TINY.box, p, res=32)
+    assert os.path.exists(p)
+
+    # CLI path over an HDF5 snapshot
+    from nbody.driver import run_simulation
+
+    res = run_simulation(TINY, seed=1, workdir=str(tmp_path / "run"))
+    rc = main(["render", res.snapshots[-1], "--res", "32",
+               "--output", str(tmp_path / "s.png")])
+    assert rc == 0 and os.path.exists(str(tmp_path / "s.png"))
