@@ -79,8 +79,8 @@ def allpairs_pallas(
     eps: float,
     G: float = 1.0,
     *,
-    ti: int = 1024,
-    tj: int = 1024,
+    ti: int = 512,
+    tj: int = 2048,
     interpret: bool | None = None,
     box: float = 0.0,
 ):
@@ -91,7 +91,9 @@ def allpairs_pallas(
       mass: (N,) masses.
       eps: Plummer softening, must be > 0.
       G: gravitational constant.
-      ti, tj: tile sizes (multiples of 128 for lane alignment).
+      ti, tj: tile sizes (multiples of 128 for lane alignment).  Default
+        (512, 2048) measured fastest on v5e (ti*tj intermediates are
+        VMEM-bound at ~4 MB; larger j-tiles amortise grid overhead).
       interpret: run the kernel in interpreter mode (auto-True off-TPU so
         the same code path is testable on a CPU host).
       box: if > 0, apply periodic minimum-image separations (cosmological
@@ -193,7 +195,7 @@ def block_acc_pallas(
     return out[:3, :ni_].T, out[3, :ni_]
 
 
-def interactions_per_call(n: int, ti: int = 1024, tj: int = 1024) -> int:
+def interactions_per_call(n: int, ti: int = 512, tj: int = 2048) -> int:
     """Pairwise interactions evaluated by one allpairs_pallas call
     (including padding work — what the hardware actually executes)."""
     block = max(ti, tj)
