@@ -104,8 +104,8 @@ def p3m_short_acc(
     r_s: float,
     r_cut: float,
     G: float = 1.0,
-    ti: int = 1024,
-    tj: int = 1024,
+    ti: int = 512,
+    tj: int = 2048,
     interpret: bool | None = None,
     split: str = "gaussian",
 ):

@@ -154,8 +154,8 @@ def block_acc_pallas(
     mass_j,
     eps: float,
     *,
-    ti: int = 1024,
-    tj: int = 1024,
+    ti: int = 512,
+    tj: int = 2048,
     interpret: bool | None = None,
 ):
     """Raw cross-block accumulation: targets i against sources (j, m_j).
