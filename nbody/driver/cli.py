@@ -148,6 +148,7 @@ def cmd_measure(args) -> int:
             h=h,
             omega_cdm=meta.Omega_cdm * h**2 if meta.Omega_cdm else 0.12,
             omega_b=meta.Omega_b * h**2 if meta.Omega_b else 0.022,
+            interlace=getattr(args, "interlace", False),
         )
         out = (
             os.path.join(
@@ -265,6 +266,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("measure", help="P(k) from HDF5 snapshots")
     p.add_argument("snapshots", nargs="+", help="snapshot files or dirs")
     p.add_argument("--nmesh", type=int, default=0)
+    p.add_argument(
+        "--interlace", action="store_true",
+        help="two half-cell-shifted deposits combined in k space",
+    )
     p.add_argument("--box", type=float, default=500.0, help="fallback box size")
     p.add_argument("--output", help="output dir (default: next to snapshot)")
     p.set_defaults(fn=cmd_measure)
