@@ -77,3 +77,14 @@ def test_dataset_uses_native_loader(tmp_path, lib):
     ds = DeltaDataset.from_directory(root, "train")
     direct = np.load(os.path.join(root, "Training & val data", "delta_train_id-1.npy"))
     np.testing.assert_array_equal(ds.X[0], direct.astype(np.float32))
+
+
+def test_numpy_fallback(tmp_path, monkeypatch):
+    """read_volumes degrades to numpy when no native library exists."""
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    a = np.random.default_rng(9).normal(size=(4, 4, 4)).astype(np.float64)
+    p = str(tmp_path / "v.npy")
+    np.save(p, a)
+    out = native.read_volumes([p], (4, 4, 4))
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out[0], a.astype(np.float32), rtol=0)
