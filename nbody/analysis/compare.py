@@ -26,32 +26,37 @@ import numpy as np
 # --------------------------------------------------------------------------
 
 
-def parse_runtime(s: str) -> float:
-    """'2 days, 23:27:37' | '4:18 min' | '12.1 s' -> seconds
-    (reference `parse_runtime`, `pppmp3mplotter.py:24-58`)."""
-    s = s.strip().lower()
-    days, rest = 0, s
-    m = re.match(r"(\d+)\s*day", s)
-    if m:
-        days = int(m.group(1))
-        rest = s.split(",", 1)[1] if "," in s else "0:0:0"
-    rest = rest.strip()
-    if "min" in rest:
-        mm_ss = rest.split("min")[0].strip()
-        if ":" in mm_ss:
-            mins, secs = map(float, mm_ss.split(":"))
-        else:
-            mins, secs = float(mm_ss), 0.0
-        return days * 86400 + mins * 60 + secs
-    if ":" in rest:
-        parts = list(map(float, rest.split(":")))
-        while len(parts) < 3:
-            parts.insert(0, 0.0)
-        h, mins, secs = parts
-        return days * 86400 + h * 3600 + mins * 60 + secs
-    if "s" in rest:
-        return days * 86400 + float(rest.split("s")[0])
-    raise ValueError(f"unparseable runtime: {s!r}")
+_DAY_PREFIX = re.compile(r"^(\d+)\s*days?\s*,?\s*")
+
+
+def parse_runtime(text: str) -> float:
+    """Convert a human runtime string to seconds.
+
+    Accepts the three formats that appear in the reference's hard-coded
+    solver runtime table (role of `pppmp3mplotter.py:24-58`):
+    ``"2 days, 23:27:37"``, ``"4:18 min"``, ``"12.1 s"``.  Design here is
+    positional: strip an optional day prefix, then weight the remaining
+    colon-separated fields from the right (s, min, h) — with a ``min``
+    suffix shifting the weights up one slot.
+    """
+    t = text.strip().lower()
+    total = 0.0
+    day = _DAY_PREFIX.match(t)
+    if day:
+        total += 86400.0 * int(day.group(1))
+        t = t[day.end():]
+    if t.endswith("min"):
+        # "4:18 min" means 4 min 18 s; bare "7 min" means 7 minutes
+        fields = [float(x) for x in t[:-3].strip().split(":") if x.strip()]
+        return total + 60.0 * fields[0] + (fields[1] if len(fields) > 1 else 0.0)
+    if t.endswith("s") and ":" not in t:
+        return total + float(t[:-1])
+    fields = [float(x) for x in t.split(":") if x.strip()]
+    if not fields and not day:
+        raise ValueError(f"unparseable runtime: {text!r}")
+    for w, v in zip((1.0, 60.0, 3600.0), reversed(fields)):
+        total += w * v
+    return total
 
 
 # --------------------------------------------------------------------------

@@ -59,8 +59,8 @@ class SimulationConfig:
     softening_frac: float = 0.03  # eps = frac * (box / n_side)
     deconvolve_p: int = 2
     interlace: bool = False
-    force_split: str = "gaussian"  # P3M split: 'gaussian' | 'spline'
-    # ('spline' is the faster production kernel — see nbody.forces.p3m)
+    force_split: str = "spline"  # P3M split: 'spline' (production, fastest —
+    # what bench.py measures) | 'gaussian' (classic Ewald-style split)
     cell_capacity: int = 0  # P3M cell-list bucket capacity; 0 = auto
     # (raise for strongly clustered late-time states — run.log reports
     # overflow after each run)
