@@ -1,0 +1,257 @@
+"""Spatially-resident slab domain decomposition on the 8-device CPU mesh.
+
+The memory-scaling multi-chip tier (VERDICT round 1 item #1/#2): particle
+storage ~N/D per device, distributed transpose FFT, ppermute halo
+exchanges.  Oracles are the single-device solvers on the same
+discretization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from nbody.core import units as u
+from nbody.core.cosmology import Cosmology
+from nbody.core.types import ParticleState
+from nbody.distributed.domain import (
+    DomainP3M,
+    domain_decompose,
+    domain_gather,
+    domain_p3m_geometry,
+    make_domain_p3m_force,
+    run_cosmological_domain,
+    slab_counts,
+    slab_deposit,
+    slab_exchange,
+)
+from nbody.distributed.fft import slab_irfftn, slab_rfftn
+from nbody.distributed.sharding import device_mesh
+from nbody.mesh.cic import cic_deposit
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return device_mesh(8)
+
+
+def _cosmo_system(n, box, seed=4, dtype=jnp.float64):
+    cosmo = Cosmology()
+    rho_crit = 3.0 * cosmo.H0**2 / (8.0 * np.pi * u.COSMO.G)
+    pmass = float(rho_crit * cosmo.Omega_m * box**3 / n)
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), dtype)
+    vel = jnp.asarray(rng.normal(0, 0.002 * box, (n, 3)), dtype)
+    mass = jnp.full((n,), pmass, dtype)
+    return cosmo, ParticleState(pos=pos, vel=vel, mass=mass,
+                                time=jnp.asarray(0.5, dtype))
+
+
+class TestSlabFFT:
+    def test_forward_matches_rfftn(self, mesh8):
+        rng = np.random.default_rng(0)
+        g = rng.standard_normal((16, 16, 16))
+        f = shard_map(
+            lambda gl: slab_rfftn(gl, "shard"),
+            mesh=mesh8, in_specs=P("shard"),
+            out_specs=P(None, "shard", None), check_vma=False,
+        )
+        out = jax.jit(f)(jnp.asarray(g))
+        np.testing.assert_allclose(
+            np.asarray(out), np.fft.rfftn(g), rtol=1e-10, atol=1e-10
+        )
+
+    def test_roundtrip(self, mesh8):
+        rng = np.random.default_rng(1)
+        g = rng.standard_normal((24, 24, 24))
+        fwd = shard_map(
+            lambda gl: slab_rfftn(gl, "shard"),
+            mesh=mesh8, in_specs=P("shard"),
+            out_specs=P(None, "shard", None), check_vma=False,
+        )
+        inv = shard_map(
+            lambda hk: slab_irfftn(hk, 24, "shard"),
+            mesh=mesh8, in_specs=P(None, "shard", None),
+            out_specs=P("shard"), check_vma=False,
+        )
+        back = jax.jit(lambda x: inv(fwd(x)))(jnp.asarray(g))
+        np.testing.assert_allclose(np.asarray(back), g, atol=1e-12)
+
+
+class TestDecompose:
+    def test_roundtrip_preserves_particles(self, mesh8):
+        _, state = _cosmo_system(2048, 80.0)
+        st = domain_decompose(state, mesh8, 80.0, ncell=8)
+        assert st.pos.shape[0] % 8 == 0
+        back = domain_gather(st)
+        assert back.n == state.n
+        # same multiset of positions
+        a = np.sort(np.asarray(state.pos), axis=0)
+        b = np.sort(np.asarray(back.pos), axis=0)
+        np.testing.assert_allclose(a, b, atol=0)
+
+    def test_memory_footprint_scales(self, mesh8):
+        """Per-device particle storage is ~N/D (the round-1 gap: the old
+        sharded P3M replicated all N positions on every device)."""
+        n = 4096
+        _, state = _cosmo_system(n, 80.0)
+        st = domain_decompose(state, mesh8, 80.0, ncell=8)
+        C = st.pos.shape[0] // 8
+        # capacity = headroom * max slab load, far below N
+        assert C < 0.3 * n
+        counts = slab_counts(state.pos, 80.0, 8, 8)
+        assert counts.sum() == n and counts.max() <= C
+
+
+class TestSlabDeposit:
+    def test_matches_replicated_cic(self, mesh8):
+        box, nmesh = 80.0, 16
+        _, state = _cosmo_system(1024, box)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        f = shard_map(
+            lambda p, m: slab_deposit(
+                p, m, box=box, nmesh=nmesh, n_dev=8, axis_name="shard"
+            ),
+            mesh=mesh8, in_specs=(P("shard"), P("shard")),
+            out_specs=P("shard"), check_vma=False,
+        )
+        grid = jax.jit(f)(st.pos, st.mass)
+        ref = cic_deposit(state.pos, box, nmesh, weights=state.mass)
+        np.testing.assert_allclose(
+            np.asarray(grid), np.asarray(ref), rtol=1e-10, atol=1e-9
+        )
+
+
+class TestExchange:
+    def test_restores_residency(self, mesh8):
+        box, ncell, D = 80.0, 8, 8
+        _, state = _cosmo_system(512, box, seed=7)
+        st = domain_decompose(state, mesh8, box, ncell=ncell)
+        C = st.pos.shape[0] // D
+        # kick every particle by up to half a slab width
+        rng = np.random.default_rng(3)
+        drift = jnp.asarray(
+            rng.uniform(-0.49 * box / D, 0.49 * box / D, (D * C, 3))
+        )
+        moved = jnp.mod(st.pos + drift * (st.mass > 0)[:, None], box)
+
+        def body(p, v, m):
+            return slab_exchange(
+                p, v, m, box=box, ncell=ncell, n_dev=D,
+                exchange_capacity=C // 2, axis_name="shard",
+            )
+
+        f = shard_map(
+            body, mesh=mesh8,
+            in_specs=(P("shard"),) * 3,
+            out_specs=(P("shard"), P("shard"), P("shard"), P()),
+            check_vma=False,
+        )
+        pos2, vel2, mass2, ov = jax.jit(f)(moved, st.vel, st.mass)
+        assert int(jnp.max(ov)) == 0
+        # every valid particle now resident in its own slab
+        pos2, mass2 = np.asarray(pos2), np.asarray(mass2)
+        valid = mass2 > 0
+        assert valid.sum() == state.n
+        cx = np.clip(
+            (np.mod(pos2[valid, 0], box) * (ncell / box)).astype(int),
+            0, ncell - 1,
+        )
+        slab_owner = cx // (ncell // D)
+        row_dev = np.repeat(np.arange(D), C)[valid]
+        np.testing.assert_array_equal(slab_owner, row_dev)
+        # multiset of positions preserved
+        a = np.sort(np.asarray(moved)[np.asarray(st.mass) > 0], axis=0)
+        b = np.sort(pos2[valid], axis=0)
+        np.testing.assert_allclose(a, b, atol=0)
+
+
+class TestDomainP3M:
+    def test_force_matches_single_device(self, mesh8):
+        """Domain-decomposed P3M == single-device P3M on the identical
+        discretization (same nmesh/ncell/split)."""
+        from nbody.forces.p3m import p3m_acc
+
+        n, box, nmesh = 2048, 80.0, 48
+        cosmo, state = _cosmo_system(n, box)
+        pos32 = state.pos.astype(jnp.float32)
+        mass32 = state.mass.astype(jnp.float32)
+        st = domain_decompose(
+            ParticleState(pos=pos32, vel=state.vel.astype(jnp.float32),
+                          mass=mass32, time=state.time),
+            mesh8, box, ncell=8,
+        )
+        acc_fn, geom = make_domain_p3m_force(
+            cosmo, box, nmesh, mesh8, eps=0.1, n_global=n, split="spline"
+        )
+        assert geom.ncell == 8
+        g, ov = jax.jit(acc_fn)(st.pos, st.mass, jnp.asarray(0.5, jnp.float32))
+        assert int(ov) == 0
+
+        ref = p3m_acc(
+            pos32, mass32, box, nmesh, G=u.COSMO.G, eps=0.1,
+            shortrange="cells", split="spline",
+        ) / 0.5
+        # match rows: domain rows are a permutation of the originals
+        g = np.asarray(g)
+        mass_np = np.asarray(st.mass)
+        pos_np = np.asarray(st.pos)
+        valid = mass_np > 0
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(pos32))
+        dist, idx = tree.query(pos_np[valid])
+        assert dist.max() == 0.0
+        rr = np.asarray(ref)[idx]
+        gg = g[valid]
+        rel = np.linalg.norm(gg - rr, axis=-1) / np.maximum(
+            np.linalg.norm(rr, axis=-1), 1e-12
+        )
+        assert np.median(rel) < 1e-5 and rel.max() < 1e-4
+
+    def test_full_run_matches_replicated(self, mesh8):
+        """A short domain-decomposed cosmological run lands on the same
+        final state as the replicated single-device integration."""
+        from nbody.forces.p3m import p3m_acc
+        from nbody.integrate.cosmo_stepping import log_a_steps, run_cosmological
+
+        n, box, nmesh = 2048, 80.0, 48
+        cosmo, state = _cosmo_system(n, box, seed=11, dtype=jnp.float32)
+        a_grid = log_a_steps(0.5, 0.6, 4)
+
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        res = run_cosmological_domain(
+            st, cosmo, a_grid, mesh8,
+            box=box, nmesh=nmesh, eps=0.1, n_global=n, split="spline",
+        )
+        assert int(res.exchange_overflow) == 0
+        assert int(res.bucket_overflow) == 0
+
+        def acc_ref(pos, mass, a):
+            return p3m_acc(
+                pos, mass, box, nmesh, G=u.COSMO.G, eps=0.1,
+                shortrange="cells", split="spline",
+            ) / a
+
+        ref = run_cosmological(state, cosmo, a_grid, acc_ref, box)
+
+        final = domain_gather(res.state)
+        assert final.n == n
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(ref.pos))
+        dist, idx = tree.query(np.asarray(final.pos))
+        # bijective match within float32 force tolerance
+        assert len(set(idx.tolist())) == n
+        assert dist.max() < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(final.vel),
+            np.asarray(ref.vel)[idx],
+            rtol=2e-3, atol=2e-3,
+        )
+
+    def test_geometry_rejects_bad_mesh(self, mesh8):
+        with pytest.raises(ValueError):
+            domain_p3m_geometry(50.0, 16, 8, 1000)
