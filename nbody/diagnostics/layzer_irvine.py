@@ -88,21 +88,32 @@ def _self_potential_per_particle(pos, box: float, nmesh: int, res: int = 6):
 
 
 def peculiar_energies(state: ParticleState, cosmo: Cosmology, box: float,
-                      nmesh: int):
+                      nmesh: int, subtract_self: bool = True,
+                      deconvolve_p: int = 2):
     """(T, W) of a comoving state (vel = canonical momentum a^2 dx/dt).
 
     T = 1/2 sum m (vel / a)^2;  W = 1/2 sum m phi(x) with the PM
     potential at the state's scale factor, self-energy subtracted
     (pm_potential_k normalises by the mean cell mass, so particle i's
     own contribution to its gathered phi is unit_self * N^3 * m_i / M).
+
+    ``subtract_self=False`` returns the RAW discrete functional
+    1/2 sum_G rho_G phi_G — the quantity whose exact gradient the
+    energy-conserving PM force is (pair with
+    :func:`nbody.forces.pm.make_pm_energy_cosmo_force` for a
+    stepping-error-only Layzer-Irvine residual).
     """
     a = state.time.astype(state.pos.dtype)
     v_pec = state.vel / a
     T = 0.5 * jnp.sum(state.mass * jnp.sum(v_pec * v_pec, axis=-1))
     amp = 1.5 * cosmo.Omega_m * cosmo.H0**2 / a
-    phi_k = pm_potential_k(state.pos, state.mass, box, nmesh) * amp
+    phi_k = pm_potential_k(
+        state.pos, state.mass, box, nmesh, deconvolve_p=deconvolve_p
+    ) * amp
     phi = jnp.fft.irfftn(phi_k, s=(nmesh,) * 3)
     W_raw = 0.5 * jnp.sum(state.mass * cic_gather(phi, state.pos, box))
+    if not subtract_self:
+        return T, W_raw
     # per-particle, offset-dependent self-energy (scaled by the mean-cell
     # normalisation inside pm_potential_k)
     u = _self_potential_per_particle(jnp.mod(state.pos, box), box, nmesh)
@@ -111,6 +122,25 @@ def peculiar_energies(state: ParticleState, cosmo: Cosmology, box: float,
         * jnp.sum(state.mass**2 * u)
     )
     return T, W_raw - W_self
+
+
+def peculiar_energies_exact(state: ParticleState, cosmo: Cosmology,
+                            box: float, r_s: float | None = None,
+                            n_max: int = 10):
+    """(T, W) with W the EXACT periodic (Ewald) potential energy of the
+    comoving Poisson source lap(phi) = (3/2) Om H0^2 delta / a — the
+    force-consistent functional for :func:`nbody.forces.ewald.ewald_pp_acc`
+    with eps = 0.  Dense O(N^2); validation tier."""
+    from nbody.core import units as u
+    from nbody.forces.ewald import ewald_potential_energy
+
+    a = state.time.astype(state.pos.dtype)
+    v_pec = state.vel / a
+    T = 0.5 * jnp.sum(state.mass * jnp.sum(v_pec * v_pec, axis=-1))
+    W = ewald_potential_energy(
+        state.pos, state.mass, box, G=u.COSMO.G, r_s=r_s, n_max=n_max
+    ) / a
+    return T, W
 
 
 def layzer_irvine_residual(a, T, W):
@@ -139,11 +169,15 @@ def run_cosmological_with_diagnostics(
     box: float,
     nmesh: int,
     diag_every: int = 1,
+    energies_fn=None,
 ):
     """run_cosmological + (a, T, W) samples every ``diag_every`` steps.
 
     Returns (final_state, a_samples, T_samples, W_samples) with the
-    initial state included as sample 0.
+    initial state included as sample 0.  ``energies_fn(state) -> (T, W)``
+    overrides the default PM functional (e.g.
+    :func:`peculiar_energies_exact`, or the raw functional for the
+    energy-conserving force).
     """
     from nbody.integrate.cosmo_stepping import run_cosmological
 
@@ -151,7 +185,10 @@ def run_cosmological_with_diagnostics(
     a_s, T_s, W_s = [], [], []
 
     def sample(st):
-        T, W = peculiar_energies(st, cosmo, box, nmesh)
+        if energies_fn is not None:
+            T, W = energies_fn(st)
+        else:
+            T, W = peculiar_energies(st, cosmo, box, nmesh)
         a_s.append(float(st.time))
         T_s.append(float(T))
         W_s.append(float(W))

@@ -229,6 +229,38 @@ def pm_acc(
     )
 
 
+def make_pm_energy_cosmo_force(
+    cosmo: Cosmology,
+    box: float,
+    nmesh: int,
+    deconvolve_p: int = 2,
+):
+    """Energy-conserving comoving PM force: the EXACT gradient of the
+    sampled energy functional W = 1/2 sum_G rho_G phi_G (symmetric
+    k-space operator), i.e. g_i = -sum_G grad_w(x_i, G) phi_G via
+    :func:`nbody.mesh.cic.cic_gather_grad`.
+
+    Classic energy-conserving (vs momentum-conserving) PM: with this
+    force, T + W obeys Layzer-Irvine to pure time-stepping error — the
+    validation tier for the LI diagnostic (it trades exact momentum
+    conservation for exact functional consistency, so production keeps
+    the momentum-conserving solver).
+    """
+    from nbody.mesh.cic import cic_gather_grad
+
+    base = 1.5 * cosmo.Omega_m * cosmo.H0**2
+
+    def acc_fn(pos, mass, a):
+        amp = base / jnp.asarray(a, pos.dtype)
+        phi_k = pm_potential_k(
+            pos, mass, box, nmesh, deconvolve_p=deconvolve_p
+        ) * amp
+        phi = jnp.fft.irfftn(phi_k, s=(nmesh,) * 3)
+        return -cic_gather_grad(phi, pos, box)
+
+    return acc_fn
+
+
 def make_pm_cosmo_force(
     cosmo: Cosmology,
     box: float,

@@ -113,6 +113,42 @@ def cic_gather_vec(grids, pos, box):
     return out
 
 
+def cic_gather_grad(grid, pos, box):
+    """Gradient of the CIC-interpolated field wrt particle position:
+    out_i = sum_G (d w(x_i - x_G) / d x_i) grid_G,  shape (n, 3).
+
+    This is the *energy-conserving* PM readback: the exact derivative of
+    the trilinear interpolation (piecewise-constant +/-1/h factors per
+    axis), so a force built from it is the exact gradient of the sampled
+    energy functional 1/2 sum rho_G phi_G — used by the Layzer-Irvine
+    validation to separate integrator error from the momentum-conserving
+    PM's force/energy mismatch.
+    """
+    nmesh = grid.shape[0]
+    h = box / nmesh
+    s = pos * (nmesh / box)
+    i0 = jnp.floor(s)
+    f = s - i0
+    i0 = i0.astype(jnp.int32)
+    flat = grid.reshape(-1)
+    out = jnp.zeros((pos.shape[0], 3), grid.dtype)
+    for dx, dy, dz in itertools.product((0, 1), repeat=3):
+        wx = f[:, 0] if dx else 1.0 - f[:, 0]
+        wy = f[:, 1] if dy else 1.0 - f[:, 1]
+        wz = f[:, 2] if dz else 1.0 - f[:, 2]
+        sx = (1.0 if dx else -1.0) / h
+        sy = (1.0 if dy else -1.0) / h
+        sz = (1.0 if dz else -1.0) / h
+        ix = jnp.mod(i0[:, 0] + dx, nmesh)
+        iy = jnp.mod(i0[:, 1] + dy, nmesh)
+        iz = jnp.mod(i0[:, 2] + dz, nmesh)
+        g = flat[(ix * nmesh + iy) * nmesh + iz]
+        out = out + jnp.stack(
+            [sx * wy * wz * g, wx * sy * wz * g, wx * wy * sz * g], axis=-1
+        )
+    return out
+
+
 def density_to_delta(count_grid, n_particles: int):
     """Overdensity delta = rho/rho_mean - 1 from a CIC count grid
     (the reference's `compute_delta`, `FraP_kTilDelta.py:126-127`)."""
