@@ -238,30 +238,60 @@ class TabulatedPowerSpectrum:
     logP: jnp.ndarray  # log P [Mpc^3]
 
     @classmethod
-    def from_arrays(cls, k, P) -> "TabulatedPowerSpectrum":
+    def from_arrays(cls, k, P, extrapolate: bool = True) -> "TabulatedPowerSpectrum":
+        """``extrapolate=True`` extends the table three decades past each
+        end along the boundary log-log slopes (power-law tails), so IC
+        corner modes beyond the tabulated k_max and the small-k side of
+        integrals stay physical instead of clamping flat."""
         k = np.asarray(k, dtype=np.float64)
         P = np.asarray(P, dtype=np.float64)
         good = (k > 0) & (P > 0)
         k, P = k[good], P[good]
         order = np.argsort(k)
-        return cls(
-            logk=jnp.asarray(np.log(k[order])),
-            logP=jnp.asarray(np.log(P[order])),
-        )
+        logk, logP = np.log(k[order]), np.log(P[order])
+        if extrapolate and logk.size >= 2:
+            s_lo = (logP[1] - logP[0]) / (logk[1] - logk[0])
+            s_hi = (logP[-1] - logP[-2]) / (logk[-1] - logk[-2])
+            span = 3.0 * np.log(10.0)
+            logk = np.concatenate([[logk[0] - span], logk, [logk[-1] + span]])
+            logP = np.concatenate(
+                [[logP[0] - s_lo * span], logP, [logP[-1] + s_hi * span]]
+            )
+        return cls(logk=jnp.asarray(logk), logP=jnp.asarray(logP))
 
     @classmethod
     def from_file(cls, path, h: float = 1.0, in_h_units: bool = False):
-        """Load a two-column (k, P) text table.
+        """Load a linear P(k) table: either a two-column (k, P) text file
+        or a CONCEPT powerspec output, whose ``P_linear`` column then
+        supplies the spectrum (lets runs consume the reference's own
+        CLASS-grade linear theory, removing the EH-vs-CLASS transfer
+        confounder from parity studies —
+        `PPPMP3M/PP/powerspec/powerspec_a=1.00` columns).
 
         ``in_h_units=True`` converts CLASS/CAMB convention (k in h/Mpc,
         P in (Mpc/h)^3) to plain Mpc units.
         """
+        with open(path, encoding="utf-8", errors="ignore") as f:
+            head = f.read(400)
+        if "Power spectrum from" in head:
+            return cls.from_powerspec(path)
         data = np.loadtxt(path, comments="#")
         k, P = data[:, 0], data[:, 1]
         if in_h_units:
             k = k * h
             P = P / h**3
         return cls.from_arrays(k, P)
+
+    @classmethod
+    def from_powerspec(cls, path) -> "TabulatedPowerSpectrum":
+        """Linear spectrum from a CONCEPT powerspec file's P_linear column
+        (k [Mpc⁻¹], P [Mpc³] — already in this framework's units)."""
+        from nbody.io.powerspec import read_powerspec
+
+        tab = read_powerspec(path)
+        if tab.P_linear is None:
+            raise ValueError(f"{path} has no linear-P column")
+        return cls.from_arrays(tab.k, tab.P_linear)
 
     def __call__(self, k):
         k = jnp.asarray(k)
