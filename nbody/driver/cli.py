@@ -104,6 +104,7 @@ def cmd_ensemble(args) -> int:
         max_retries=args.max_retries,
         resume=not args.no_resume,
         split_name=args.split_name,
+        batch=args.batch,
     )
     print(
         json.dumps(
@@ -261,6 +262,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-retries", type=int, default=3)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--split-name", default="Training")
+    p.add_argument(
+        "--batch", type=int, default=0,
+        help="vmapped tier: integrate chunks of B members as one XLA "
+        "dispatch (members must share all params except A_s)",
+    )
     p.set_defaults(fn=cmd_ensemble)
 
     p = sub.add_parser("measure", help="P(k) from HDF5 snapshots")

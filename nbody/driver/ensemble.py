@@ -94,6 +94,81 @@ def find_missing_jobs(
     ]
 
 
+def run_members_batched(
+    config: SimulationConfig,
+    seeds: np.ndarray,
+    A_s_values: np.ndarray,
+    base: SimulationConfig | None = None,
+):
+    """Integrate a batch of B realizations in ONE jitted program.
+
+    vmap over (IC key, amplitude): the whole batch — LPT realization,
+    the full KDK ``lax.scan`` — is a single XLA dispatch, the TPU-native
+    form of the reference's process-pool ensembles
+    (`Ucertain.py:143-146` ProcessPoolExecutor; SURVEY.md §2.3 maps them
+    to "vmap over ensemble members").  Through a high-latency TPU relay
+    this beats B sequential runs by amortising B x per-dispatch overhead;
+    on-device it keeps the chip saturated at small N where one member
+    underfills the VPU (the reference's 32^3 pipeline case).
+
+    All members share every static config field except A_s (the traced
+    amplitude).  Returns a batched ParticleState (leading axis B).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nbody.core.cosmology import TabulatedPowerSpectrum  # noqa: F401
+    from nbody.driver.simulate import _linear_power_fn, build_cosmo_force
+    from nbody.ic.gaussian import GRFSpec
+    from nbody.ic.zeldovich import lpt_ic
+    from nbody.integrate.cosmo_stepping import (
+        cosmo_kick_drift_factors,
+        log_a_steps,
+    )
+
+    anchor = base or config
+    cosmo = anchor.cosmology()
+    power = _linear_power_fn(cosmo, anchor.transfer)
+    spec = GRFSpec(nmesh=config.n_side, box=config.box)
+    acc_fn = build_cosmo_force(anchor)
+
+    a_grid = log_a_steps(config.a_begin, config.a_end, config.n_steps)
+    K1, Dr, K2, _ = cosmo_kick_drift_factors(cosmo, a_grid)
+
+    def one(seed, amp):
+        st = lpt_ic(
+            jax.random.key(seed), spec, power, cosmo, config.a_begin,
+            order=config.lpt_order, amplitude=amp / anchor.A_s,
+        )
+        dtype = st.pos.dtype
+        g = acc_fn(st.pos, st.mass, st.time)
+
+        def body(carry, x):
+            s, g = carry
+            a1, k1, dr, k2 = x
+            p_half = s.vel + g * k1
+            pos_new = jnp.mod(s.pos + p_half * dr, config.box)
+            g_new = acc_fn(pos_new, s.mass, a1)
+            s = s.replace(pos=pos_new, vel=p_half + g_new * k2, time=a1)
+            return (s, g_new), None
+
+        xs = (
+            jnp.asarray(a_grid[1:], dtype),
+            jnp.asarray(K1, dtype),
+            jnp.asarray(Dr, dtype),
+            jnp.asarray(K2, dtype),
+        )
+        (final, _), _ = jax.lax.scan(body, (st, g), xs)
+        return final
+
+    run = jax.jit(jax.vmap(one))
+    return run(
+        jnp.asarray(seeds, jnp.uint32),
+        jnp.asarray(A_s_values, jnp.float64 if jax.config.jax_enable_x64
+                    else jnp.float32),
+    )
+
+
 def run_ensemble(
     config: SimulationConfig,
     n_samples: int,
@@ -103,15 +178,20 @@ def run_ensemble(
     max_retries: int = 3,
     resume: bool = True,
     split_name: str = "Training",
+    batch: int = 0,
 ) -> EnsembleResult:
     """Run n_samples seeded realizations of ``config``.
 
     A_s_values: per-member amplitudes (None -> all members use config.A_s,
-    i.e. a pure realization-scatter ensemble like `Ucertain.py`).  Members
-    are run sequentially on the chip (each is a single jitted program;
-    ensemble-level parallelism across hosts is a matter of slicing the
-    index range).  Sidecar files (BoxParams / MaxMinParams / <split>Params)
-    are written for downstream emulator training (SURVEY.md §2.4).
+    i.e. a pure realization-scatter ensemble like `Ucertain.py`).  With
+    ``batch`` <= 1, members run sequentially (each a jitted program, with
+    per-member retry + run.log).  ``batch=B`` > 1 switches to the vmapped
+    tier: chunks of B members integrate as ONE dispatch
+    (:func:`run_members_batched`), and snapshots/powerspecs are written
+    from the host afterwards — dramatically faster for small-N pipeline
+    data generation.  Sidecar files (BoxParams / MaxMinParams /
+    <split>Params) are written for downstream emulator training
+    (SURVEY.md §2.4).
     """
     t0 = time.perf_counter()
     seeds = make_seeds(n_samples, master_seed)
@@ -144,11 +224,80 @@ def run_ensemble(
     )
     write_param_table(os.path.join(workdir, f"{split_name}Params.txt"), params)
 
-    run_dirs, failed, skipped = [], [], []
+    run_dirs = [
+        _run_dir(workdir, i, float(A_s_values[i])) for i in range(n_samples)
+    ]
+    failed, skipped = [], []
+
+    if batch > 1:
+        import jax
+
+        from nbody.core.types import ParticleState
+        from nbody.driver.simulate import measure_powerspec
+        from nbody.io.snapshot import SnapshotMeta, write_snapshot
+
+        cosmo = config.cosmology()
+        todo = []
+        for i in range(n_samples):
+            if resume and os.path.exists(
+                _final_snapshot(run_dirs[i], config)
+            ):
+                skipped.append(i)
+            else:
+                todo.append(i)
+        for lo in range(0, len(todo), batch):
+            chunk = todo[lo : lo + batch]
+            states = None
+            for attempt in range(max_retries):
+                try:
+                    states = run_members_batched(
+                        config, seeds[chunk], A_s_values[chunk], base=config
+                    )
+                    break
+                except Exception:  # noqa: BLE001
+                    if attempt == max_retries - 1:
+                        failed.extend(chunk)
+                        with open(
+                            os.path.join(workdir, "failures.log"), "a"
+                        ) as f:
+                            f.write(
+                                f"batch {chunk}:\n{traceback.format_exc()}\n"
+                            )
+            if states is None:
+                continue
+            for j, i in enumerate(chunk):
+                member = config.replace(A_s=float(A_s_values[i]))
+                st = jax.tree_util.tree_map(lambda x: x[j], states)
+                rd = run_dirs[i]
+                tag = f"a={config.a_end:.2f}"
+                if config.output.snapshot:
+                    write_snapshot(
+                        os.path.join(rd, "snapshots", f"snapshot_{tag}.hdf5"),
+                        ParticleState(
+                            pos=st.pos, vel=st.vel, mass=st.mass, time=st.time
+                        ),
+                        SnapshotMeta.from_cosmology(
+                            cosmo, config.box, a=config.a_end
+                        ),
+                    )
+                if config.output.powerspec:
+                    measure_powerspec(
+                        st.pos, member, config.a_end,
+                        path=os.path.join(rd, "powerspec", f"powerspec_{tag}"),
+                    )
+                member.save(os.path.join(rd, "config.json"))
+        return EnsembleResult(
+            run_dirs=run_dirs,
+            params=params,
+            seeds=seeds,
+            failed=failed,
+            skipped=skipped,
+            wall_s=time.perf_counter() - t0,
+        )
+
     for i in range(n_samples):
         member = config.replace(A_s=float(A_s_values[i]))
-        rd = _run_dir(workdir, i, float(A_s_values[i]))
-        run_dirs.append(rd)
+        rd = run_dirs[i]
         if resume and os.path.exists(_final_snapshot(rd, member)):
             skipped.append(i)
             continue
