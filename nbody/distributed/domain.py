@@ -464,6 +464,9 @@ def make_domain_p3m_local(
     g is the canonical-momentum force -grad(phi)/a of
     nbody.integrate.run_cosmological; overflow counts particles whose
     bucket was full (their short-range force is dropped this step).
+    ``split="none"`` turns off the force split and the short-range pass
+    entirely — a pure domain-decomposed PM solver (local-slab deposit,
+    distributed FFT, local-slab gather; no full-grid psum anywhere).
     """
     from nbody.core import units as u
     from nbody.forces.p3m import run_cell_plane
@@ -507,7 +510,9 @@ def make_domain_p3m_local(
             F = jnp.interp(km, ks_tab, F_tab).astype(dtype)
         else:
             inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
-            F = inv_k2 * jnp.exp(-k2 * geom.r_s**2)
+            F = inv_k2
+            if split == "gaussian":
+                F = F * jnp.exp(-k2 * geom.r_s**2)
         amp = (base / a).astype(dtype) if hasattr(base / a, "astype") else base / a
         phi_k = -amp * delta_k * F
         h_cell = box / nmesh
@@ -523,6 +528,8 @@ def make_domain_p3m_local(
         acc_long = slab_gather3(
             grids, pos_l, box=box, n_dev=D, axis_name=axis_name
         )
+        if split == "none":  # pure PM: no short-range pass
+            return acc_long, jnp.int32(0)
 
         # ---- short range: local plane + halo exchange -----------------
         plane, idx_pad, overflow, K = build_local_plane(

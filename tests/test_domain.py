@@ -255,3 +255,30 @@ class TestDomainP3M:
     def test_geometry_rejects_bad_mesh(self, mesh8):
         with pytest.raises(ValueError):
             domain_p3m_geometry(50.0, 16, 8, 1000)
+
+    def test_domain_pm_matches_replicated(self, mesh8):
+        """split='none' is a pure domain PM: local-slab deposit +
+        distributed FFT + local gather == the replicated PM solver."""
+        from nbody.forces.pm import make_pm_cosmo_force
+
+        n, box, nmesh = 1024, 500.0, 16
+        cosmo, state = _cosmo_system(n, box, seed=3)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        acc_fn, _ = make_domain_p3m_force(
+            cosmo, box, nmesh, mesh8, eps=0.0, n_global=n, split="none",
+            r_cut=box / 8,
+        )
+        g, ov = jax.jit(acc_fn)(st.pos, st.mass, jnp.asarray(0.5))
+        ref_fn = make_pm_cosmo_force(cosmo, box, nmesh)
+        g_ref = ref_fn(state.pos, state.mass, jnp.asarray(0.5))
+
+        from scipy.spatial import cKDTree
+
+        valid = np.asarray(st.mass) > 0
+        tree = cKDTree(np.asarray(state.pos))
+        dist, idx = tree.query(np.asarray(st.pos)[valid])
+        assert dist.max() == 0.0
+        np.testing.assert_allclose(
+            np.asarray(g)[valid], np.asarray(g_ref)[idx],
+            rtol=1e-8, atol=1e-11,
+        )
