@@ -62,13 +62,23 @@ class SimulationConfig:
     force_split: str = "spline"  # P3M split: 'spline' (production, fastest —
     # what bench.py measures) | 'gaussian' (classic Ewald-style split)
     cell_capacity: int = 0  # P3M cell-list bucket capacity; 0 = auto
-    # (raise for strongly clustered late-time states — run.log reports
-    # overflow after each run)
+    # (in-scan overflow tracking auto-doubles this and re-runs the
+    # segment if a clustered state fills a bucket)
+    shortrange: str = "auto"  # P3M short-range tier: 'auto' | 'cells'
+    # (ghost-padded Pallas cell kernel, production) | 'allpairs' (dense)
 
     # -- time stepping -------------------------------------------------------
     a_begin: float = 0.02
     a_end: float = 1.0
     n_steps: int = 142  # CONCEPT's typical count for a=0.02->1 (SURVEY §6)
+    time_stepping: str = "fixed"  # 'fixed' (log-a grid of n_steps) |
+    # 'adaptive' (the run chooses its own steps like CONCEPT's adaptive
+    # integration — n_steps then caps the total; run.log gains
+    # "Rung population" lines)
+    step_dla_max: float = 0.03  # adaptive: background Delta(ln a) cap
+    # (~0.0276 reproduces CONCEPT's ~142 steps over a=0.02->1)
+    step_eta_disp: float = 0.25  # adaptive: max per-step drift in units
+    # of the PM cell size (displacement criterion)
 
     # -- initial conditions ---------------------------------------------------
     lpt_order: int = 1  # 1 (Zel'dovich) or 2 (2LPT)
@@ -82,6 +92,11 @@ class SimulationConfig:
             raise ValueError(f"solver must be one of {SOLVERS}, got {self.solver!r}")
         if self.lpt_order not in (1, 2):
             raise ValueError(f"lpt_order must be 1 or 2, got {self.lpt_order}")
+        if self.time_stepping not in ("fixed", "adaptive"):
+            raise ValueError(
+                f"time_stepping must be 'fixed' or 'adaptive', "
+                f"got {self.time_stepping!r}"
+            )
 
     # -- derived -------------------------------------------------------------
     @property

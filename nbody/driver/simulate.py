@@ -24,7 +24,6 @@ from nbody.core.cosmology import Cosmology
 from nbody.core.types import ParticleState
 from nbody.driver.config import SimulationConfig
 from nbody.forces.p3m import p3m_acc
-from nbody.forces.pallas_pp import allpairs_pallas
 from nbody.forces.pm import make_pm_cosmo_force
 from nbody.ic.gaussian import GRFSpec
 from nbody.ic.zeldovich import lpt_ic
@@ -47,36 +46,55 @@ def _linear_power_fn(cosmo: Cosmology, transfer: str) -> Callable:
     return lambda k: tab(k)
 
 
-def build_cosmo_force(config: SimulationConfig) -> Callable:
+def build_cosmo_force(config: SimulationConfig, checked: bool = False) -> Callable:
     """acc_fn(pos, mass, a) -> canonical-momentum force for the config's
     solver.  All three comoving solvers reduce to the Newtonian periodic
     force in comoving coordinates scaled by 1/a (the Poisson amplitudes
     (3/2) Om H0^2 / a and 4 pi G rho_mean_com / a are identical because
-    rho_crit = 3 H0^2 / (8 pi G))."""
+    rho_crit = 3 H0^2 / (8 pi G)).
+
+    ``checked=True`` returns acc_fns of signature
+    (pos, mass, a) -> (g, overflow:int32) for
+    :func:`nbody.integrate.cosmo_stepping.run_cosmological_checked` —
+    overflow counts particles that lost short-range force to a full P3M
+    cell bucket (always 0 for pp/pm)."""
     box, eps, G = config.box, config.eps, units.COSMO.G
     nmesh = config.mesh_size
     cosmo = config.cosmology()
 
     if config.solver == "pm":
-        return make_pm_cosmo_force(
+        pm_fn = make_pm_cosmo_force(
             cosmo, box, nmesh,
             deconvolve_p=config.deconvolve_p, interlace=config.interlace,
         )
+        if not checked:
+            return pm_fn
+        return lambda pos, mass, a: (pm_fn(pos, mass, a), jnp.int32(0))
     if config.solver == "pp":
+        # exact periodic PP: Ewald summation (CONCEPT's PP is the exact
+        # periodic force; the round-1 minimum-image tier carried a
+        # box-scale systematic — VERDICT item #8)
+        from nbody.forces.ewald import ewald_pp_acc
+
         def pp_fn(pos, mass, a):
-            acc, _ = allpairs_pallas(pos, mass, eps=eps, G=G, box=box)
-            return acc / jnp.asarray(a, pos.dtype)
+            acc = ewald_pp_acc(pos, mass, box, eps=eps, G=G)
+            g = acc / jnp.asarray(a, pos.dtype)
+            return (g, jnp.int32(0)) if checked else g
 
         return pp_fn
 
     def p3m_fn(pos, mass, a):
-        acc = p3m_acc(
+        out = p3m_acc(
             pos, mass, box, nmesh, G=G, eps=eps,
             deconvolve_p=config.deconvolve_p, interlace=config.interlace,
-            split=config.force_split,
+            split=config.force_split, shortrange=config.shortrange,
             capacity=config.cell_capacity or None,
+            with_overflow=checked,
         )
-        return acc / jnp.asarray(a, pos.dtype)
+        if checked:
+            acc, ov = out
+            return acc / jnp.asarray(a, pos.dtype), ov
+        return out / jnp.asarray(a, pos.dtype)
 
     return p3m_fn
 
@@ -161,7 +179,16 @@ def measure_powerspec(
     k = np.asarray(raw.k)
     modes = np.asarray(raw.n_modes)
     cosmo = config.cosmology()
-    P_lin = np.asarray(cosmo.linear_power(jnp.asarray(k), a=a))
+    if config.transfer in ("eh", "bbks"):
+        P_lin = np.asarray(
+            cosmo.linear_power(jnp.asarray(k), a=a, transfer=config.transfer)
+        )
+    else:
+        # tabulated transfer (e.g. the reference's own P_linear column):
+        # keep the linear column consistent with the ICs' spectrum
+        tab = _linear_power_fn(cosmo, config.transfer)
+        D = float(cosmo.growth_D(a))
+        P_lin = np.asarray(tab(jnp.asarray(k))) * D**2
     keep = modes > 0
     k, modes = k[keep], modes[keep]
     P, Pc, P_lin = (
@@ -210,7 +237,20 @@ def run_simulation(
     k steps (the role of CONCEPT's ``autosave_interval=6*hr``,
     `Different_Sizes/Giant.param:17`); ``resume=True`` picks up from the
     workdir's autosave bit-exactly if one exists.
+
+    Cell-bucket overflow is tracked INSIDE the jitted scan (max over all
+    force evaluations): a clustered state that would silently lose
+    short-range force instead triggers an automatic capacity-doubling
+    re-jit of the overflowing segment (logged), so results never carry
+    dropped force.  With ``config.time_stepping == "adaptive"`` each
+    segment chooses its own steps on device (CONCEPT-style; the log gains
+    "Rung population" lines) and output times are hit exactly instead of
+    being snapped to the fixed grid.
     """
+    from nbody.integrate.cosmo_stepping import (
+        make_adaptive_cosmo_runner,
+        run_cosmological_checked,
+    )
     from nbody.io.checkpoint import (
         latest_checkpoint,
         load_checkpoint,
@@ -219,19 +259,30 @@ def run_simulation(
 
     t0 = time.perf_counter()
     cosmo = config.cosmology()
-    acc_fn = build_cosmo_force(config)
+    cfg_run = config
+    acc_fn = build_cosmo_force(cfg_run, checked=True)
+    adaptive = config.time_stepping == "adaptive"
 
     a_grid = log_a_steps(config.a_begin, config.a_end, config.n_steps)
-    # snap requested output times onto grid points (CONCEPT adjusts its
-    # step sizes instead; log-spacing makes nearest-point error < 2%/step)
-    out_idx = sorted(
-        {
-            int(np.argmin(np.abs(a_grid - a)))
-            for a in config.output.snapshot_times
-            if config.a_begin < a <= config.a_end
-        }
-    )
-    out_idx = [i for i in out_idx if i > 0]
+    if adaptive:
+        out_a = sorted(
+            {
+                float(a)
+                for a in config.output.snapshot_times
+                if config.a_begin < a <= config.a_end
+            }
+        )
+    else:
+        # snap requested output times onto grid points (CONCEPT adjusts
+        # its step sizes instead; log-spacing keeps the error < 2%/step)
+        out_idx = sorted(
+            {
+                int(np.argmin(np.abs(a_grid - a)))
+                for a in config.output.snapshot_times
+                if config.a_begin < a <= config.a_end
+            }
+        )
+        out_idx = [i for i in out_idx if i > 0]
 
     workdir = workdir if workdir is not None else config.output.dir
     snapshots, powerspecs = [], []
@@ -239,12 +290,14 @@ def run_simulation(
         config.save(os.path.join(workdir, "config.json"))
 
     start_idx = 0
+    a_start = config.a_begin
     state = None
     if resume and workdir:
         ckpt = latest_checkpoint(workdir)
         if ckpt is not None:
             state, extra = load_checkpoint(ckpt)
             start_idx = int(extra["grid_index"])
+            a_start = float(extra["a"])
     if state is None:
         state = (
             initial_state
@@ -253,12 +306,18 @@ def run_simulation(
         )
 
     # segment boundaries: output times + checkpoint cadence
-    bounds = set(out_idx) | {len(a_grid) - 1}
-    if checkpoint_every_steps:
-        bounds |= set(
-            range(checkpoint_every_steps, len(a_grid) - 1, checkpoint_every_steps)
-        )
-    bounds = sorted(i for i in bounds if i > start_idx)
+    if adaptive:
+        bounds = sorted({a for a in out_a if a > a_start} | {config.a_end})
+    else:
+        bounds = set(out_idx) | {len(a_grid) - 1}
+        if checkpoint_every_steps:
+            bounds |= set(
+                range(
+                    checkpoint_every_steps, len(a_grid) - 1,
+                    checkpoint_every_steps,
+                )
+            )
+        bounds = sorted(i for i in bounds if i > start_idx)
 
     log_path = os.path.join(workdir, "run.log") if workdir else None
 
@@ -269,58 +328,149 @@ def run_simulation(
             with open(log_path, "a") as f:
                 f.write(msg + "\n")
 
+    def current_capacity() -> int:
+        if cfg_run.cell_capacity:
+            return cfg_run.cell_capacity
+        from nbody.forces.p3m import p3m_short_params
+
+        return p3m_short_params(
+            config.box, config.mesh_size, config.n_particles
+        )[3]
+
+    def with_capacity_retry(run_fn, st):
+        """Run one segment; on in-scan bucket overflow, double the cell
+        capacity, rebuild (re-jit) the force, and re-run the segment from
+        its starting state — results never carry silently dropped
+        short-range force."""
+        nonlocal acc_fn, cfg_run
+        for _ in range(5):
+            new_state, ov = run_fn(st, acc_fn)
+            if ov == 0:
+                return new_state
+            new_cap = 2 * current_capacity()
+            log(
+                f"P3M cell overflow inside scan ({ov} particles) — "
+                f"doubling cell capacity to {new_cap}, re-running segment"
+            )
+            cfg_run = cfg_run.replace(cell_capacity=new_cap)
+            acc_fn = build_cosmo_force(cfg_run, checked=True)
+        raise RuntimeError(
+            "P3M cell capacity retries exhausted — state too clustered"
+        )
+
+    n_steps_total = 0
+
+    def seg_fixed(prev, idx):
+        def run_fn(st, fn):
+            new, ov = run_cosmological_checked(
+                st, cosmo, a_grid[prev : idx + 1], fn, config.box
+            )
+            jax.block_until_ready(new.pos)
+            return new, int(ov)
+
+        return run_fn
+
+    def seg_adaptive(a_hi):
+        cell = config.box / config.mesh_size
+
+        def run_fn(st, fn):
+            nonlocal n_steps_total
+            runner = make_adaptive_cosmo_runner(
+                cosmo, fn, config.box, cell,
+                dla_max=config.step_dla_max,
+                eta_disp=config.step_eta_disp,
+                max_steps=32,  # chunked dispatches (TPU relay limit)
+            )
+            while float(st.time) < a_hi * (1.0 - 1e-9):
+                st, n, ov, dla, hist = runner(
+                    st, jnp.asarray(a_hi, st.pos.dtype)
+                )
+                n = int(n)
+                if int(ov):
+                    return st, int(ov)
+                n_steps_total += n
+                pops = np.asarray(hist)
+                pops = pops[: max(1, int(np.max(np.nonzero(pops)[0]) + 1))]
+                log(
+                    f"Time step {n_steps_total:4d}   "
+                    f"a = {float(st.time):.4f}   "
+                    f"dln(a) = {float(dla):.5f}   "
+                    f"Rung population: matter: "
+                    + ", ".join(str(int(p)) for p in pops)
+                )
+            return st, 0
+
+        return run_fn
+
     log(
         f"nbody run: solver={config.solver} N={config.n_particles} "
         f"box={config.box:g} Mpc mesh={config.mesh_size} "
-        f"a={config.a_begin:g}->{config.a_end:g} in {config.n_steps} steps "
-        f"(seed={seed}, start_idx={start_idx})"
+        f"a={config.a_begin:g}->{config.a_end:g} "
+        + (
+            "(adaptive stepping)"
+            if adaptive
+            else f"in {config.n_steps} steps"
+        )
+        + f" (seed={seed}, start_idx={start_idx})"
     )
     meta_of = lambda a: SnapshotMeta.from_cosmology(cosmo, config.box, a=a)
     with AsyncSnapshotWriter() as writer:
-        prev = start_idx
-        for idx in bounds:
-            t_seg = time.perf_counter()
-            state = run_cosmological(
-                state, cosmo, a_grid[prev : idx + 1], acc_fn, config.box
-            )
-            jax.block_until_ready(state.pos)
-            log(
-                f"Time step {idx:4d}   a = {a_grid[idx]:.4f}   "
-                f"({idx - prev} steps in {time.perf_counter() - t_seg:.2f} s)"
-            )
-            if idx in out_idx and workdir:
-                a = float(a_grid[idx])
-                tag = f"a={a:.2f}"
-                if config.output.snapshot:
-                    spath = os.path.join(workdir, "snapshots", f"snapshot_{tag}.hdf5")
-                    writer.submit(spath, state, meta_of(a))
-                    snapshots.append(spath)
-                    log(f"Snapshot queued: {spath}")
-                if config.output.powerspec:
-                    ppath = os.path.join(workdir, "powerspec", f"powerspec_{tag}")
-                    measure_powerspec(state.pos, config, a, path=ppath)
-                    powerspecs.append(ppath)
-                    log(f"Power spectrum written: {ppath}")
-            if checkpoint_every_steps and workdir and idx < len(a_grid) - 1:
-                save_checkpoint(
-                    os.path.join(workdir, "autosave", "checkpoint.npz"),
-                    state,
-                    {"grid_index": idx, "seed": seed, "a": float(a_grid[idx])},
+
+        def write_outputs(a: float):
+            tag = f"a={a:.2f}"
+            if config.output.snapshot:
+                spath = os.path.join(
+                    workdir, "snapshots", f"snapshot_{tag}.hdf5"
                 )
-            prev = idx
+                writer.submit(spath, state, meta_of(a))
+                snapshots.append(spath)
+                log(f"Snapshot queued: {spath}")
+            if config.output.powerspec:
+                ppath = os.path.join(workdir, "powerspec", f"powerspec_{tag}")
+                measure_powerspec(state.pos, config, a, path=ppath)
+                powerspecs.append(ppath)
+                log(f"Power spectrum written: {ppath}")
 
-    if config.solver == "p3m" and config.n_particles > 65536:
-        # clustering check: over-full cells silently lose short-range
-        # force; report so the user can raise config.cell_capacity
-        from nbody.forces.p3m import p3m_cell_overflow
-
-        ov = p3m_cell_overflow(
-            state.pos, config.box, config.mesh_size,
-            capacity=config.cell_capacity or None,
-        )
-        log(f"P3M cell overflow at a={float(state.time):.3f}: {ov} particles")
-        if ov:
-            log("WARNING: raise SimulationConfig.cell_capacity and rerun")
+        if adaptive:
+            for a_hi in bounds:
+                t_seg = time.perf_counter()
+                state = with_capacity_retry(seg_adaptive(a_hi), state)
+                log(
+                    f"Reached a = {a_hi:.4f} "
+                    f"({time.perf_counter() - t_seg:.2f} s)"
+                )
+                if a_hi in out_a and workdir:
+                    write_outputs(a_hi)
+                if checkpoint_every_steps and workdir and a_hi < config.a_end:
+                    save_checkpoint(
+                        os.path.join(workdir, "autosave", "checkpoint.npz"),
+                        state,
+                        {"grid_index": -1, "seed": seed, "a": float(a_hi)},
+                    )
+            log(f"Total adaptive steps: {n_steps_total}")
+        else:
+            prev = start_idx
+            for idx in bounds:
+                t_seg = time.perf_counter()
+                state = with_capacity_retry(seg_fixed(prev, idx), state)
+                log(
+                    f"Time step {idx:4d}   a = {a_grid[idx]:.4f}   "
+                    f"({idx - prev} steps in "
+                    f"{time.perf_counter() - t_seg:.2f} s)"
+                )
+                if idx in out_idx and workdir:
+                    write_outputs(float(a_grid[idx]))
+                if checkpoint_every_steps and workdir and idx < len(a_grid) - 1:
+                    save_checkpoint(
+                        os.path.join(workdir, "autosave", "checkpoint.npz"),
+                        state,
+                        {
+                            "grid_index": idx,
+                            "seed": seed,
+                            "a": float(a_grid[idx]),
+                        },
+                    )
+                prev = idx
 
     return SimulationResult(
         state=state,

@@ -50,7 +50,9 @@ def _erfc_pos(x, expmx2):
 
 
 def _short_weight(r2, eps2: float, r_s: float, r_cut: float):
-    """C(r) / (r^2 + eps^2)^(3/2), masked beyond r_cut. r2 includes eps2."""
+    """C(r) / (r^2 + eps^2)^(3/2), masked beyond r_cut. r2 includes eps2.
+    Floored so the eps=0 self-pair yields w*0 = 0 instead of inf*0."""
+    r2 = jnp.maximum(r2, 1e-30)
     inv_r = jax.lax.rsqrt(r2)
     r = r2 * inv_r  # r = sqrt(r2), one rsqrt + one mul
     x = r / (2.0 * r_s)
@@ -73,6 +75,7 @@ def _spline_short_weight(r2, r_s: float, r_cut: float):
     rate.  ``r2`` includes the Plummer eps^2 (softens the Newton term;
     the spline term is smooth anyway).
     """
+    r2 = jnp.maximum(r2, 1e-30)
     inv_r = jax.lax.rsqrt(r2)
     r = r2 * inv_r
     u = r * (1.0 / r_cut)
@@ -203,6 +206,7 @@ def p3m_acc(
     shortrange: str = "auto",
     split: str = "gaussian",
     capacity: int | None = None,
+    with_overflow: bool = False,
 ):
     """Full P3M acceleration: filtered PM far field + short-range
     correction.
@@ -215,6 +219,12 @@ def p3m_acc(
     64k particles when the box admits a >= 3^3 cell grid).  ``split``
     picks the force split: 'gaussian' (Ewald erfc/exp) or 'spline'
     (polynomial — same accuracy class, cheaper per pair on the VPU).
+
+    ``with_overflow=True`` returns (acc, overflow:int32) where overflow
+    counts particles whose cell bucket was full this evaluation (their
+    short-range force is dropped) — thread it through scans so clustered
+    late-time states fail loudly / trigger capacity re-jits instead of
+    silently losing force (always 0 for the dense all-pairs tier).
     """
     cell = box / nmesh
     if r_s is None:
@@ -245,7 +255,7 @@ def p3m_acc(
         ncell = int(box / float(r_cut))
         if capacity is None:
             capacity = cell_capacity(n, ncell)
-        acc_short, _overflow = p3m_short_cells_pallas(
+        acc_short, overflow = p3m_short_cells_pallas(
             pos, mass, box, float(eps), float(r_s), float(r_cut), G=G,
             ncell=ncell, capacity=capacity, split=split,
         )
@@ -254,6 +264,9 @@ def p3m_acc(
             pos, mass, box, float(eps), float(r_s), float(r_cut), G=G,
             interpret=interpret, split=split,
         )
+        overflow = jnp.int32(0)
+    if with_overflow:
+        return acc_long + acc_short, overflow
     return acc_long + acc_short
 
 
@@ -492,27 +505,48 @@ def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    for b in range(1, ncell + 1):
-        isl = slice(b * K, (b + 1) * K)
-        xi = i_ref[0, isl][:, None]
-        yi = i_ref[1, isl][:, None]
-        zi = i_ref[2, isl][:, None]
-        jsl = slice((b - 1) * K, (b + 2) * K)
-        xj = j_ref[0, jsl][None, :]
-        yj = j_ref[1, jsl][None, :]
-        zj = j_ref[2, jsl][None, :]
-        mj = j_ref[3, jsl][None, :]
-        dx = xj - xi
-        dy = yj - yi
-        dz = zj - zi
-        r2 = dx * dx + dy * dy + dz * dz + eps2
-        w = mj * _weight_fn(split)(r2, eps2, r_s, r_cut)
-        ax = jnp.sum(w * dx, axis=1)
-        ay = jnp.sum(w * dy, axis=1)
-        az = jnp.sum(w * dz, axis=1)
-        zero = jnp.zeros_like(ax)
-        upd = jnp.stack([ax, ay, az, zero, zero, zero, zero, zero])
-        out_ref[:, isl] = out_ref[:, isl] + upd
+    wfn = _weight_fn(split)
+    JB = 384  # j-chunk width: 3K % 384 == 0 since K % 128 == 0
+
+    # Two rolled fori_loops (not unrolled Python loops): Mosaic allocates
+    # kernel stack per unrolled op AND the (K, 3K) pair temporaries scale
+    # as K^2 — at the deep bucket capacities the clustering self-heal can
+    # reach (K ~ 640+), either form of materialising the full window
+    # blows the 16 MB scoped-vmem limit.  Chunking the j-window to
+    # (K, 384) keeps the stack O(K) regardless of ncell or capacity.
+    # Dynamic slice starts are multiples of 128: lane-aligned.
+    def body(b, carry):
+        i_blk = i_ref[:, pl.ds(b * K, K)]
+        xi = i_blk[0][:, None]
+        yi = i_blk[1][:, None]
+        zi = i_blk[2][:, None]
+
+        def inner(c, acc):
+            j_blk = j_ref[:, pl.ds((b - 1) * K + c * JB, JB)]
+            xj = j_blk[0][None, :]
+            yj = j_blk[1][None, :]
+            zj = j_blk[2][None, :]
+            mj = j_blk[3][None, :]
+            dx = xj - xi
+            dy = yj - yi
+            dz = zj - zi
+            r2 = dx * dx + dy * dy + dz * dz + eps2
+            w = mj * wfn(r2, eps2, r_s, r_cut)
+            ax = jnp.sum(w * dx, axis=1)
+            ay = jnp.sum(w * dy, axis=1)
+            az = jnp.sum(w * dz, axis=1)
+            zero = jnp.zeros_like(ax)
+            return acc + jnp.stack(
+                [ax, ay, az, zero, zero, zero, zero, zero]
+            )
+
+        upd = jax.lax.fori_loop(
+            0, (3 * K) // JB, inner, jnp.zeros((8, K), i_blk.dtype)
+        )
+        out_ref[:, pl.ds(b * K, K)] = out_ref[:, pl.ds(b * K, K)] + upd
+        return carry
+
+    jax.lax.fori_loop(1, ncell + 1, body, 0)
 
 
 @functools.partial(
