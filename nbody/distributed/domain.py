@@ -244,7 +244,11 @@ def build_local_plane(
     -/+box where the ring wraps around the box.
 
     Returns (plane (8, (nxl+2) * M^2 * K), idx_pad ((nxl+2), M, M, K)
-    local particle indices with sentinel C, overflow, K).
+    local particle indices with sentinel C, overflow, K, gidx (C,)) —
+    ``gidx`` is each local particle's own interior slot in the padded
+    plane (non-resident / overflowed rows hold the sentinel
+    (nxl+2) M^2 K), so the short-range result comes back by a GATHER of
+    C rows instead of scatter-adding every bucket slot.
     """
     d = jax.lax.axis_index(axis_name)
     C = pos_l.shape[0]
@@ -275,6 +279,19 @@ def build_local_plane(
         order.astype(jnp.int32), mode="drop"
     )
     overflow = (jnp.sum(valid) - jnp.sum(ok)).astype(jnp.int32)
+
+    # per-particle interior slot in the padded plane (flat layout
+    # ((x*M + y)*M + z)*K + rank with x in [0, nxl+2))
+    sxl = cid_s // (ncell * ncell)
+    sy = (cid_s // ncell) % ncell
+    sz = cid_s % ncell
+    pad_slot = ((((sxl + 1) * M) + sy + 1) * M + sz + 1) * K + rank
+    sentinel = (nxl + 2) * M * M * K
+    gidx = (
+        jnp.full((C,), sentinel, jnp.int32)
+        .at[order]
+        .set(jnp.where(ok, pad_slot, sentinel).astype(jnp.int32))
+    )
 
     posw = jnp.mod(pos_l, box).astype(dtype)
     pos_pad = jnp.concatenate(
@@ -322,7 +339,7 @@ def build_local_plane(
         ],
         axis=0,
     )
-    return p5.reshape(8, (nxl + 2) * M * M * K), idx_pad, overflow, K
+    return p5.reshape(8, (nxl + 2) * M * M * K), idx_pad, overflow, K, gidx
 
 
 def slab_deposit(pos_l, mass_l, *, box: float, nmesh: int, n_dev: int,
@@ -532,7 +549,7 @@ def make_domain_p3m_local(
             return acc_long, jnp.int32(0)
 
         # ---- short range: local plane + halo exchange -----------------
-        plane, idx_pad, overflow, K = build_local_plane(
+        plane, _idx_pad, overflow, K, gidx = build_local_plane(
             pos_l, mass_l, box=box, r_cut=geom.r_cut, ncell=ncell, n_dev=D,
             capacity=geom.bucket_capacity, axis_name=axis_name,
         )
@@ -540,20 +557,13 @@ def make_domain_p3m_local(
             plane, nx=nxl, ncell=ncell, K=K, eps2=eps2,
             r_s=geom.r_s, r_cut=geom.r_cut, split=split,
         )
-        g1 = jnp.arange(nxl + 2)
-        g2 = jnp.arange(M)
-        lx, ly, lz = jnp.meshgrid(g1, g2, g2, indexing="ij")
-        interior = (
-            (lx >= 1) & (lx <= nxl) & (ly >= 1) & (ly <= ncell)
-            & (lz >= 1) & (lz <= ncell)
-        ).reshape(-1)
-        scatter_idx = jnp.where(interior[:, None], idx_pad.reshape(-1, K), C)
-        acc_buckets = out[:3].reshape(3, -1).T
-        acc_short = (
-            jnp.zeros((C + 1, 3), jnp.float32)
-            .at[scatter_idx.reshape(-1)]
-            .add(acc_buckets)[:C]
-        ).astype(dtype) * (G / a)
+        # gather back: each resident particle's acc lives in exactly one
+        # interior slot; the sentinel row zeroes non-resident/overflow
+        acc_buckets = jnp.concatenate(
+            [out[:3].reshape(3, -1).T, jnp.zeros((1, 3), jnp.float32)],
+            axis=0,
+        )
+        acc_short = acc_buckets[gidx].astype(dtype) * (G / a)
 
         return acc_long + acc_short, overflow
 

@@ -277,7 +277,7 @@ def make_sharded_p3m_cosmo_force(
         mass_g = jax.lax.all_gather(mass_l, axis_name).reshape(-1)
         n = pos_g.shape[0]
         cap = capacity or cell_capacity(n, ncell)
-        plane, idx_pad, _overflow, K = build_padded_plane(
+        plane, idx_pad, _overflow, K, _gidx = build_padded_plane(
             pos_g, mass_g, box, float(r_cut), ncell, cap
         )
         plane3 = plane.reshape(8, M, M * M * K)

@@ -406,10 +406,13 @@ def build_padded_plane(pos, mass, box: float, r_cut: float, ncell: int,
     """Bucket particles and assemble the ghost-padded SoA cell plane.
 
     Returns (plane (8, (ncell+2)^3 * K), idx_pad ((ncell+2)^3, K),
-    overflow, K).  Plane rows are x, y, z, mass, 0, 0, 0, 0; ghost cells
-    replicate the periodic wrap with the +/-box shift baked into their
-    positions; padding bucket slots point at the zero-mass sentinel
-    particle with index n.
+    overflow, K, gidx).  Plane rows are x, y, z, mass, 0, 0, 0, 0; ghost
+    cells replicate the periodic wrap with the +/-box shift baked into
+    their positions; padding bucket slots point at the zero-mass sentinel
+    particle with index n.  ``gidx`` (n,) is each particle's own slot in
+    the padded plane (overflowed particles hold the sentinel M^3 * K) —
+    results come back from bucket tables by a GATHER of n rows, ~6x
+    cheaper than scatter-adding all M^3 K slots on TPU.
     """
     from nbody.mesh.cells import build_cell_list
 
@@ -443,7 +446,15 @@ def build_padded_plane(pos, mass, box: float, r_cut: float, ncell: int,
         ],
         axis=0,
     ).reshape(8, M**3 * K)
-    return plane, idx_pad, cl.overflow, K
+
+    # interior cell id + rank -> padded-plane slot per particle
+    ov = cl.slots >= C3 * capacity
+    cid = jnp.minimum(cl.slots // capacity, C3 - 1)
+    rank = cl.slots - cid * capacity
+    cx, cy, cz = cid // (ncell * ncell), (cid // ncell) % ncell, cid % ncell
+    pad_cid = ((cx + 1) * M + (cy + 1)) * M + (cz + 1)
+    gidx = jnp.where(ov, M**3 * K, pad_cid * K + rank)
+    return plane, idx_pad, cl.overflow, K, gidx
 
 
 def run_cell_plane(
@@ -592,7 +603,7 @@ def p3m_short_cells_pallas(
     dtype = jnp.float32
     M = ncell + 2
 
-    plane, idx_pad, overflow, K = build_padded_plane(
+    plane, _idx_pad, overflow, K, gidx = build_padded_plane(
         pos, mass, box, r_cut, ncell, capacity
     )
     out = run_cell_plane(
@@ -600,21 +611,14 @@ def p3m_short_cells_pallas(
         r_s=r_s, r_cut=r_cut, split=split, interpret=interpret,
     )
 
-    # scatter back: only real (interior) cells carry physics; unvisited
-    # ghost columns hold garbage -> route them to the dropped sentinel row
-    g = jnp.arange(M)
-    px, py, pz = jnp.meshgrid(g, g, g, indexing="ij")
-    interior = (
-        (px >= 1) & (px <= ncell) & (py >= 1) & (py <= ncell)
-        & (pz >= 1) & (pz <= ncell)
-    ).reshape(-1)
-    scatter_idx = jnp.where(interior[:, None], idx_pad, n)
-    acc_buckets = out[:3].reshape(3, M**3 * K).T
-    acc = (
-        jnp.zeros((n + 1, 3), dtype)
-        .at[scatter_idx.reshape(-1)]
-        .add(acc_buckets)[:n]
+    # gather back: each particle's acceleration lives in exactly one
+    # interior bucket slot (gidx); the sentinel row keeps overflowed
+    # particles at zero.  A gather of n rows, vs scatter-adding all
+    # M^3 K slots (ghost columns never enter — gidx is interior-only).
+    acc_buckets = jnp.concatenate(
+        [out[:3].reshape(3, M**3 * K).T, jnp.zeros((1, 3), dtype)], axis=0
     )
+    acc = acc_buckets[gidx]
     return G * acc.astype(pos.dtype), overflow
 
 

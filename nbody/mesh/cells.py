@@ -28,6 +28,10 @@ class CellList(NamedTuple):
     indices: jax.Array  # (ncell^3, capacity) int32; padding slots hold n
     counts: jax.Array  # (ncell^3,) true occupancy
     overflow: jax.Array  # scalar int32: particles that did not fit
+    slots: jax.Array  # (n,) int32: each particle's bucket slot
+    # (cid * capacity + rank); overflowed particles hold the sentinel
+    # ncell^3 * capacity — lets consumers GATHER per-particle results
+    # back from bucket tables instead of scatter-adding every slot
 
 
 def cell_capacity(n: int, ncell: int, headroom: float = 2.0, minimum: int = 8) -> int:
@@ -63,14 +67,17 @@ def build_cell_list(pos, box, ncell: int, capacity: int) -> CellList:
 
     table = jnp.full((ncell**3 * capacity,), n, dtype=jnp.int32)
     lin = cid_s * capacity + rank
-    table = table.at[jnp.where(ok, lin, ncell**3 * capacity)].set(
-        order.astype(jnp.int32), mode="drop"
+    slot_s = jnp.where(ok, lin, ncell**3 * capacity)
+    table = table.at[slot_s].set(order.astype(jnp.int32), mode="drop")
+    slots = (
+        jnp.zeros((n,), jnp.int32).at[order].set(slot_s.astype(jnp.int32))
     )
     overflow = jnp.sum(~ok).astype(jnp.int32)
     return CellList(
         indices=table.reshape(ncell**3, capacity),
         counts=counts,
         overflow=overflow,
+        slots=slots,
     )
 
 

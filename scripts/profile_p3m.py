@@ -1,0 +1,124 @@
+"""Per-stage wall-time breakdown of the production P3M force at bench
+scale (N = 2^20, 128^3 mesh) on the real chip — what to optimize next.
+
+Stages: CIC deposit, FFT forward, k-space solve + 3 inverse FFTs,
+CIC vector gather, cell-plane build (bucketing + gathers), cell kernel,
+scatter-back.  Timing per verify SKILL: fresh perturbations, host
+readback sync.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _sync(out):
+    # complex readback is UNIMPLEMENTED over the relay -> abs() first
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jnp.abs(leaf.ravel()[:2]))
+
+
+def timed(fn, *args, reps=3, label=""):
+    _sync(fn(*args))
+    ts = []
+    rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
+    for _ in range(reps):
+        # perturb the first positional arg if it's a float array
+        a0 = args[0]
+        if jnp.issubdtype(a0.dtype, jnp.complexfloating):
+            pert = a0 * (1.0 + rng.uniform(1e-6, 1e-4))
+        elif jnp.issubdtype(a0.dtype, jnp.floating):
+            pert = a0 + jnp.asarray(rng.uniform(1e-6, 1e-4), a0.dtype)
+        else:
+            pert = a0
+        t0 = time.perf_counter()
+        out = fn(pert, *args[1:])
+        _sync(out)
+        ts.append(time.perf_counter() - t0)
+    print(f"{label:40s} {min(ts)*1e3:9.1f} ms", flush=True)
+    return min(ts)
+
+
+def main():
+    from nbody.forces.p3m import (
+        build_padded_plane, p3m_acc, p3m_short_params, run_cell_plane,
+    )
+    from nbody.mesh.cic import cic_deposit, cic_gather_vec
+
+    n = 1 << 20
+    box, nmesh = 500.0, 128
+    eps = 0.03 * box / round(n ** (1 / 3))
+    rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    mass = jnp.ones((n,), jnp.float32)
+    r_s, r_cut, ncell, capacity = p3m_short_params(box, nmesh, n)
+    print(f"N={n} mesh={nmesh} ncell={ncell} capacity={capacity}", flush=True)
+
+    t_total = timed(
+        jax.jit(lambda p: p3m_acc(p, mass, box, nmesh, eps=eps,
+                                  shortrange="cells", split="spline")),
+        pos, label="TOTAL p3m_acc")
+
+    dep = jax.jit(lambda p: cic_deposit(p, box, nmesh, weights=mass))
+    t_dep = timed(dep, pos, label="cic_deposit (scatter-add)")
+
+    grid = dep(pos)
+    fft = jax.jit(lambda g: jnp.fft.rfftn(g))
+    t_fft = timed(fft, grid, label="rfftn 128^3")
+
+    gk = fft(grid)
+    ifft3 = jax.jit(lambda k: jnp.stack(
+        [jnp.fft.irfftn(k * 1.1, s=(nmesh,) * 3) for _ in range(3)]))
+    t_ifft = timed(ifft3, gk, label="3x irfftn 128^3")
+
+    grids = ifft3(gk)
+    gat = jax.jit(lambda g, p: cic_gather_vec(g, p, box))
+    t_gat = timed(lambda p: gat(grids, p), pos, label="cic_gather_vec")
+
+    build = jax.jit(lambda p: build_padded_plane(p, mass, box, r_cut,
+                                                 ncell, capacity))
+    t_build = timed(build, pos, label="build_padded_plane")
+
+    plane, idx_pad, ov, _K = build(pos)
+    K = -(-capacity // 128) * 128  # static (jitted build traces its K)
+    kern = jax.jit(lambda pl_: run_cell_plane(
+        pl_, nx=ncell, ncell=ncell, K=K, eps2=eps * eps, r_s=r_s,
+        r_cut=r_cut, split="spline"))
+    t_kern = timed(kern, plane, label=f"cell kernel (K={K})")
+
+    # scatter-back cost
+    out = kern(plane)
+    M = ncell + 2
+    g = jnp.arange(M)
+    px, py, pz = jnp.meshgrid(g, g, g, indexing="ij")
+    interior = ((px >= 1) & (px <= ncell) & (py >= 1) & (py <= ncell)
+                & (pz >= 1) & (pz <= ncell)).reshape(-1)
+    scatter_idx = jnp.where(interior[:, None], idx_pad, n)
+
+    def scat(o):
+        accb = o[:3].reshape(3, M**3 * K).T
+        return (jnp.zeros((n + 1, 3), jnp.float32)
+                .at[scatter_idx.reshape(-1)].add(accb)[:n])
+
+    t_scat = timed(jax.jit(scat), out, label="scatter-back")
+
+    # VPU floor estimate for the kernel: pairs = ncell^3 * K * 3K * 9
+    pairs = ncell**3 * K * 3 * K * 9
+    # ~1.55e11 pairs/s is the dense-kernel speed of light on this chip
+    print(f"\nkernel evaluated pairs: {pairs:.3e} "
+          f"-> {pairs / t_kern:.3e} pair-evals/s "
+          f"(dense floor 1.55e11: {pairs / t_kern / 1.55e11 * 100:.0f}%)",
+          flush=True)
+    acct = t_dep + t_fft + t_ifft + t_gat + t_build + t_kern + t_scat
+    print(f"accounted {acct*1e3:.0f} ms of {t_total*1e3:.0f} ms "
+          f"(rest: k-solve, add)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
