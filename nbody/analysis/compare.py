@@ -102,7 +102,7 @@ def _run_and_measure(config, seed, workdir):
     )
     wall = time.perf_counter() - t0
     k, modes, P, Pc, Pl = measure_powerspec(
-        res.state.pos, config, a=config.a_end
+        res.state.pos, config, a=config.a_end, seed=seed
     )
     return {"k": k, "P": Pc, "P_raw": P, "P_linear": Pl, "modes": modes, "wall_s": wall}
 

@@ -33,6 +33,19 @@ class OutputConfig:
     powerspec: bool = True
     powerspec_bins: int = 48
     snapshot: bool = True
+    # -- measurement options (CONCEPT powerspec_options parity,
+    #    reference `SnapVsPK/Uncertain.param:83-107`) ----------------------
+    powerspec_binning: str = "geomspace"  # 'geomspace' (powerspec_bins
+    # fixed log bins to the corner mode) | 'concept' (variable
+    # bins-per-decade edges up to powerspec_k_max)
+    bins_per_decade: Sequence[Sequence[float]] = ((4.0, 4.0), (100.0, 40.0))
+    # (k / k_min, bins/decade) anchors, log10-interpolated — the
+    # reference's {'4*k_min': 4, '100*k_min': 40}
+    powerspec_k_max: str = "nyquist"  # 'nyquist' | 'corner' ('concept'
+    # binning only)
+    realization_correction: bool = False  # divide the realization's own
+    # linear-spectrum scatter out of the corrected column (CONCEPT's
+    # 'realization correction': True)
 
     def replace(self, **kw) -> "OutputConfig":
         return dataclasses.replace(self, **kw)
@@ -147,6 +160,10 @@ class SimulationConfig:
         if isinstance(out, dict):
             out.setdefault("snapshot_times", (1.0,))
             out["snapshot_times"] = tuple(out["snapshot_times"])
+            if "bins_per_decade" in out:
+                out["bins_per_decade"] = tuple(
+                    tuple(p) for p in out["bins_per_decade"]
+                )
             out = OutputConfig(**out)
         return cls(output=out, **d)
 

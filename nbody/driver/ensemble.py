@@ -284,6 +284,7 @@ def run_ensemble(
                     measure_powerspec(
                         st.pos, member, config.a_end,
                         path=os.path.join(rd, "powerspec", f"powerspec_{tag}"),
+                        seed=int(seeds[i]),
                     )
                 member.save(os.path.join(rd, "config.json"))
         return EnsembleResult(

@@ -141,7 +141,8 @@ def _sigma8_from_pk(k: np.ndarray, P: np.ndarray, h: float) -> float:
 
 
 def measure_powerspec(
-    pos, config: SimulationConfig, a: float, path: str | None = None
+    pos, config: SimulationConfig, a: float, path: str | None = None,
+    seed: int | None = None,
 ):
     """CIC deposit -> P(k) of a particle snapshot; optionally write the
     CONCEPT-format text file with corrected + linear columns.
@@ -150,31 +151,43 @@ def measure_powerspec(
     combined in k space — CONCEPT's "second interlacing pass"
     (reference `SnapVsPK/Uncertain.param` interlace (True, True));
     the corrected column always divides out the CIC window.
-    """
+
+    ``config.output`` measurement options mirror CONCEPT's
+    powerspec_options (`Uncertain.param:83-107`): 'concept' binning lays
+    out variable bins-per-decade edges up to the Nyquist, and
+    ``realization_correction`` (needs ``seed``) additionally divides the
+    realization's own linear-spectrum scatter out of the corrected
+    column, cancelling cosmic variance like the reference's
+    'realization correction': True."""
     from nbody.mesh.cic import cic_deposit_interlaced_k
+    from nbody.mesh.spectrum import concept_bin_edges
 
     nmesh = config.mesh_size
+    n_bins = config.output.powerspec_bins
+    edges = None
+    if config.output.powerspec_binning == "concept":
+        edges = concept_bin_edges(
+            config.box, nmesh, config.output.bins_per_decade,
+            config.output.powerspec_k_max,
+        )
     if config.interlace:
         rho_k = cic_deposit_interlaced_k(pos, config.box, nmesh)
         delta_k = rho_k / (pos.shape[0] / nmesh**3)
         delta_k = delta_k.at[0, 0, 0].set(0.0)
         raw = power_spectrum(
-            delta_k, config.box, n_bins=config.output.powerspec_bins,
-            is_fourier=True,
+            delta_k, config.box, n_bins=n_bins, is_fourier=True,
+            edges=edges,
         )
         corr = power_spectrum(
-            delta_k, config.box, n_bins=config.output.powerspec_bins,
-            deconvolve_p=1, is_fourier=True,
+            delta_k, config.box, n_bins=n_bins, deconvolve_p=1,
+            is_fourier=True, edges=edges,
         )
     else:
         grid = cic_deposit(pos, config.box, nmesh)
         delta = density_to_delta(grid, pos.shape[0])
-        raw = power_spectrum(
-            delta, config.box, n_bins=config.output.powerspec_bins
-        )
+        raw = power_spectrum(delta, config.box, n_bins=n_bins, edges=edges)
         corr = power_spectrum(
-            delta, config.box, n_bins=config.output.powerspec_bins,
-            deconvolve_p=1,
+            delta, config.box, n_bins=n_bins, deconvolve_p=1, edges=edges,
         )
     k = np.asarray(raw.k)
     modes = np.asarray(raw.n_modes)
@@ -196,13 +209,35 @@ def measure_powerspec(
         np.asarray(corr.power)[keep],
         P_lin[keep],
     )
+
+    if config.output.realization_correction and seed is not None:
+        # CONCEPT's 'realization correction': divide the drawn
+        # realization's own linear spectrum out of the corrected column,
+        # so cosmic variance cancels bin-by-bin (growth factors cancel in
+        # the ratio, so both sides are evaluated at a=1)
+        from nbody.ic.gaussian import GRFSpec, gaussian_delta_k
+
+        cosmo1 = config.cosmology()
+        power1 = _linear_power_fn(cosmo1, config.transfer)
+        spec = GRFSpec(nmesh=config.n_side, box=config.box)
+        dk = gaussian_delta_k(jax.random.key(seed), spec, power1)
+        realized = power_spectrum(
+            dk, config.box, n_bins=n_bins, is_fourier=True, edges=edges,
+        )
+        Pr = np.asarray(realized.power)[keep].astype(np.float64)
+        P_th = np.asarray(power1(jnp.asarray(k))).astype(np.float64)
+        factor = np.where(Pr > 0, P_th / np.where(Pr > 0, Pr, 1.0), 1.0)
+        Pc = Pc * factor
     if path is not None:
         write_powerspec(
             path, k, modes, P, P_corrected=Pc, P_linear=P_lin,
             a=a, gridsize=nmesh,
             sigma8=_sigma8_from_pk(k, P, config.h),
             sigma8_corrected=_sigma8_from_pk(k, Pc, config.h),
-            sigma8_linear=float(cosmo.sigma8(a=a)),
+            # integrate the linear column over the same measured bins so
+            # the three header values are range-consistent (CONCEPT's
+            # header sigma8s come from its binned tables the same way)
+            sigma8_linear=_sigma8_from_pk(k, P_lin, config.h),
         )
     return k, modes, P, Pc, P_lin
 
@@ -427,7 +462,8 @@ def run_simulation(
                 log(f"Snapshot queued: {spath}")
             if config.output.powerspec:
                 ppath = os.path.join(workdir, "powerspec", f"powerspec_{tag}")
-                measure_powerspec(state.pos, config, a, path=ppath)
+                measure_powerspec(state.pos, config, a, path=ppath,
+                                  seed=seed)
                 powerspecs.append(ppath)
                 log(f"Power spectrum written: {ppath}")
 

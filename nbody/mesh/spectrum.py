@@ -32,6 +32,43 @@ class PowerSpectrumResult(NamedTuple):
     n_modes: jax.Array # modes per bin
 
 
+def concept_bin_edges(
+    box: float,
+    nmesh: int,
+    bins_per_decade=((4.0, 4.0), (100.0, 40.0)),
+    k_max: str | float = "nyquist",
+) -> np.ndarray:
+    """CONCEPT-style variable-density k-bin edges.
+
+    The reference's measurement machinery lays bins out with a local
+    bins-per-decade that is linearly interpolated (in log10 k) between
+    anchor points given in units of the fundamental mode — the
+    ``'bins per decade': {'4*k_min': 4, '100*k_min': 40}`` /
+    ``'k_max': 'nyquist'`` block of `SnapVsPK/Uncertain.param:92-107`.
+    Edges are built by walking k -> k * 10^(1/bpd(k)) from the
+    fundamental; ``k_max`` is 'nyquist' (pi nmesh / box), 'corner'
+    (sqrt(3)/2 full-diagonal mode), or an explicit value.
+    """
+    k_min = 2.0 * np.pi / box
+    if k_max == "nyquist":
+        k_hi = np.pi * nmesh / box
+    elif k_max == "corner":
+        k_hi = k_min * nmesh * np.sqrt(3.0) / 2.0
+    else:
+        k_hi = float(k_max)
+    k_hi = k_hi * 1.0000001
+    anchors = sorted((float(m), float(b)) for m, b in bins_per_decade)
+    log_ks = np.log10([k_min * m for m, _ in anchors])
+    bpds = np.array([b for _, b in anchors])
+    edges = [k_min * 0.999]
+    k = k_min
+    while k < k_hi:
+        bpd = float(np.interp(np.log10(k), log_ks, bpds))
+        k = k * 10.0 ** (1.0 / bpd)
+        edges.append(min(k, k_hi))
+    return np.asarray(edges)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("box", "nmesh", "n_bins", "deconvolve_p", "convention"),
@@ -43,6 +80,7 @@ def _power_from_delta_k(
     n_bins: int,
     deconvolve_p: int,
     convention: str,
+    edges=None,
 ):
     dtype = delta_k.real.dtype
     V = box**3
@@ -63,13 +101,16 @@ def _power_from_delta_k(
     mult = rfft_mode_weights(nmesh, dtype)
     mult = jnp.broadcast_to(mult, km.shape)
 
-    # log bins from the fundamental to the corner mode (reference uses
-    # logspace(2 pi/L, kmax, 300); bin count is a parameter here)
-    k_fund = 2.0 * np.pi / box
-    k_max = k_fund * nmesh * np.sqrt(3.0) / 2.0 * 1.0000001
-    edges = jnp.asarray(
-        np.geomspace(k_fund * 0.999, k_max, n_bins + 1), dtype
-    )
+    if edges is None:
+        # log bins from the fundamental to the corner mode (reference uses
+        # logspace(2 pi/L, kmax, 300); bin count is a parameter here)
+        k_fund = 2.0 * np.pi / box
+        k_max = k_fund * nmesh * np.sqrt(3.0) / 2.0 * 1.0000001
+        edges = jnp.asarray(
+            np.geomspace(k_fund * 0.999, k_max, n_bins + 1), dtype
+        )
+    else:
+        edges = jnp.asarray(edges, dtype)
     idx = jnp.clip(jnp.searchsorted(edges, km.ravel(), side="right") - 1, -1, n_bins)
     # modes below the fundamental (the k=0 DC mode) land in bin -1 -> drop
     idx = jnp.where(idx < 0, n_bins, idx)
@@ -92,6 +133,7 @@ def power_spectrum(
     deconvolve_p: int = 0,
     convention: str = "grid",
     is_fourier: bool = False,
+    edges=None,
 ):
     """Spherically averaged P(k) of a real overdensity grid.
 
@@ -99,10 +141,12 @@ def power_spectrum(
       delta: (N, N, N) real overdensity field, or its rfftn if
         ``is_fourier=True`` (e.g. from cic_deposit_interlaced_k).
       box: box side length.
-      n_bins: number of logarithmic k bins.
+      n_bins: number of logarithmic k bins (ignored when ``edges`` given).
       deconvolve_p: 0 = no CIC correction; 1 = divide P by W^2 (deposit
         deconvolution, reference ``deconvolve=True``); 2 = divide by W^4.
       convention: "grid" or "fac" (the reference's use_fac toggle).
+      edges: explicit bin-edge array (e.g. :func:`concept_bin_edges` for
+        the reference's variable bins-per-decade layout).
 
     Returns PowerSpectrumResult(k, power, n_modes); empty bins have
     power=0 and n_modes=0 (the reference drops them; use n_modes>0 to
@@ -114,6 +158,9 @@ def power_spectrum(
     else:
         delta_k = jnp.fft.rfftn(delta)
         nmesh = delta.shape[0]
+    if edges is not None:
+        n_bins = len(edges) - 1
     return _power_from_delta_k(
-        delta_k, float(box), nmesh, n_bins, deconvolve_p, convention
+        delta_k, float(box), nmesh, n_bins, deconvolve_p, convention,
+        edges=None if edges is None else jnp.asarray(edges),
     )

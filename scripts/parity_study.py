@@ -59,6 +59,11 @@ def main():
         output=OutputConfig(
             dir=OUT, snapshot_times=(1.0,), powerspec=False, snapshot=False,
             powerspec_bins=48,
+            # the reference's measurement options (Uncertain.param:83-107):
+            # variable bins-per-decade to the Nyquist + realization
+            # correction, so the corrected column is cosmic-variance-free
+            powerspec_binning="concept",
+            realization_correction=True,
         ),
     )
     os.makedirs(OUT, exist_ok=True)
@@ -70,7 +75,9 @@ def main():
         )
         pos = res.state.pos
         path = os.path.join(OUT, f"powerspec_a=1.00_seed{seed}")
-        k, modes, P, Pc, Pl = measure_powerspec(pos, cfg, a=1.0, path=path)
+        k, modes, P, Pc, Pl = measure_powerspec(
+            pos, cfg, a=1.0, path=path, seed=seed
+        )
         s8c = sigma8_from_table(k, Pc)
         s8l = sigma8_from_table(k, Pl)
         # interpolate our corrected spectrum onto the reference's k bins
@@ -117,7 +124,9 @@ def main():
             cfg.replace(time_stepping="adaptive"), seed=0,
             workdir=os.path.join(OUT, "adaptive"),
         )
-        k, modes, P, Pc, Pl = measure_powerspec(res.state.pos, cfg, a=1.0)
+        k, modes, P, Pc, Pl = measure_powerspec(
+            res.state.pos, cfg, a=1.0, seed=0
+        )
         logtxt = open(os.path.join(OUT, "adaptive", "run.log")).read()
         total = int(logtxt.rsplit("Total adaptive steps:", 1)[1].split()[0])
         summary["adaptive"] = {
