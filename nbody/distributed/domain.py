@@ -243,12 +243,13 @@ def build_local_plane(
     boundary layers, moved by one ``ppermute`` each and x-shifted by
     -/+box where the ring wraps around the box.
 
-    Returns (plane (8, (nxl+2) * M^2 * K), idx_pad ((nxl+2), M, M, K)
-    local particle indices with sentinel C, overflow, K, gidx (C,)) —
+    Returns (plane (8, (nxl+2) * M^2 * K), overflow, K, gidx (C,)) —
     ``gidx`` is each local particle's own interior slot in the padded
     plane (non-resident / overflowed rows hold the sentinel
     (nxl+2) M^2 K), so the short-range result comes back by a GATHER of
-    C rows instead of scatter-adding every bucket slot.
+    C rows instead of scatter-adding every bucket slot; the plane itself
+    is built by a scatter-SET of the C local rows plus wrap-padding,
+    never by gathering every slot.
     """
     d = jax.lax.axis_index(axis_name)
     C = pos_l.shape[0]
@@ -274,14 +275,11 @@ def build_local_plane(
     )
     rank = jnp.arange(C, dtype=jnp.int32) - starts[cid_s]
     ok = (rank < K) & (cid_s < C3l)
-    table = jnp.full((C3l * K,), C, dtype=jnp.int32)
-    table = table.at[jnp.where(ok, cid_s * K + rank, C3l * K)].set(
-        order.astype(jnp.int32), mode="drop"
-    )
     overflow = (jnp.sum(valid) - jnp.sum(ok)).astype(jnp.int32)
 
-    # per-particle interior slot in the padded plane (flat layout
-    # ((x*M + y)*M + z)*K + rank with x in [0, nxl+2))
+    # per-particle slots: interior (cid * K + rank) for the scatter-SET
+    # plane build, padded (((x+1)*M + y+1)*M + z+1)*K + rank for the
+    # gather-back
     sxl = cid_s // (ncell * ncell)
     sy = (cid_s // ncell) % ncell
     sz = cid_s % ncell
@@ -292,30 +290,50 @@ def build_local_plane(
         .at[order]
         .set(jnp.where(ok, pad_slot, sentinel).astype(jnp.int32))
     )
-
-    posw = jnp.mod(pos_l, box).astype(dtype)
-    pos_pad = jnp.concatenate(
-        [posw, jnp.full((1, 3), -4.0 * r_cut, dtype)], axis=0
+    slot_l = (
+        jnp.full((C,), C3l * K, jnp.int32)
+        .at[order]
+        .set(jnp.where(ok, cid_s * K + rank, C3l * K).astype(jnp.int32))
     )
-    mass_pad = jnp.concatenate([mass_l.astype(dtype), jnp.zeros((1,), dtype)], 0)
 
-    idx_local = table.reshape(nxl, ncell, ncell, K)
-    g = jnp.arange(M)
-    syz = jnp.mod(g - 1, ncell)
-    shyz = ((g - 1) // ncell).astype(dtype) * box
-    idx_real = idx_local[:, syz, :, :][:, :, syz, :]  # (nxl, M, M, K)
-    bpos = pos_pad[idx_real]  # (nxl, M, M, K, 3)
-    bpos = jnp.stack(
+    # scatter-SET the local rows; padding slots keep the far-away
+    # zero-mass sentinel defaults
+    posw = jnp.mod(pos_l, box).astype(dtype)
+    data = jnp.concatenate([posw, mass_l.astype(dtype)[:, None]], axis=1)
+    defaults = jnp.asarray([-4.0 * r_cut] * 3 + [0.0], dtype)
+    interior = (
+        jnp.broadcast_to(defaults, (C3l * K + 1, 4))
+        .at[slot_l]
+        .set(data)[: C3l * K]
+        .reshape(nxl, ncell, ncell, K, 4)
+    )
+
+    # y/z ghosts: periodic wrap via contiguous slab copies with the
+    # +/-box shift baked into the copied coordinates (x halos come from
+    # the neighbours below)
+    padded = jnp.pad(interior, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)),
+                     mode="wrap")
+    for ax in (1, 2):
+
+        def shifted(sl, delta):
+            lo = padded[(slice(None),) * ax + (sl,)]
+            return lo.at[..., ax].add(
+                jnp.where(lo[..., 3] > 0, delta, 0.0)
+            )
+
+        padded = padded.at[(slice(None),) * ax + (0,)].set(
+            shifted(0, -box)
+        )
+        padded = padded.at[(slice(None),) * ax + (M - 1,)].set(
+            shifted(M - 1, box)
+        )
+
+    soa = jnp.concatenate(
         [
-            bpos[..., 0],
-            bpos[..., 1] + shyz[None, :, None, None],
-            bpos[..., 2] + shyz[None, None, :, None],
+            jnp.moveaxis(padded, -1, 0),
+            jnp.zeros((4, nxl, M, M, K), dtype),
         ],
         axis=0,
-    )  # (3, nxl, M, M, K)
-    bmass = mass_pad[idx_real][None]  # (1, nxl, M, M, K)
-    soa = jnp.concatenate(
-        [bpos, bmass, jnp.zeros((4, nxl, M, M, K), dtype)], axis=0
     ).reshape(8, nxl, M * M * K)
     zero_layer = jnp.zeros((8, 1, M * M * K), dtype)
     p5 = jnp.concatenate([zero_layer, soa, zero_layer], axis=1)
@@ -331,15 +349,7 @@ def build_local_plane(
     from_right = from_right.at[0].add(shift_r)
     p5 = p5.at[:, 0].set(from_left).at[:, nxl + 1].set(from_right)
 
-    idx_pad = jnp.concatenate(
-        [
-            jnp.full((1, M, M, K), C, jnp.int32),
-            idx_real,
-            jnp.full((1, M, M, K), C, jnp.int32),
-        ],
-        axis=0,
-    )
-    return p5.reshape(8, (nxl + 2) * M * M * K), idx_pad, overflow, K, gidx
+    return p5.reshape(8, (nxl + 2) * M * M * K), overflow, K, gidx
 
 
 def slab_deposit(pos_l, mass_l, *, box: float, nmesh: int, n_dev: int,
@@ -549,7 +559,7 @@ def make_domain_p3m_local(
             return acc_long, jnp.int32(0)
 
         # ---- short range: local plane + halo exchange -----------------
-        plane, _idx_pad, overflow, K, gidx = build_local_plane(
+        plane, overflow, K, gidx = build_local_plane(
             pos_l, mass_l, box=box, r_cut=geom.r_cut, ncell=ncell, n_dev=D,
             capacity=geom.bucket_capacity, axis_name=axis_name,
         )

@@ -277,7 +277,7 @@ def make_sharded_p3m_cosmo_force(
         mass_g = jax.lax.all_gather(mass_l, axis_name).reshape(-1)
         n = pos_g.shape[0]
         cap = capacity or cell_capacity(n, ncell)
-        plane, idx_pad, _overflow, K, _gidx = build_padded_plane(
+        plane, _overflow, K, gidx = build_padded_plane(
             pos_g, mass_g, box, float(r_cut), ncell, cap
         )
         plane3 = plane.reshape(8, M, M * M * K)
@@ -288,24 +288,17 @@ def make_sharded_p3m_cosmo_force(
             local_plane, nx=nxl, ncell=ncell, K=K, eps2=eps2,
             r_s=float(r_s), r_cut=float(r_cut), split=split,
         )
-        idx3 = idx_pad.reshape(M, M, M, K)
-        idx_local = jax.lax.dynamic_slice_in_dim(idx3, d * nxl, nxl + 2, axis=0)
-        g1 = jnp.arange(nxl + 2)
-        g2 = jnp.arange(M)
-        lx, ly, lz = jnp.meshgrid(g1, g2, g2, indexing="ij")
-        interior = (
-            (lx >= 1) & (lx <= nxl) & (ly >= 1) & (ly <= ncell)
-            & (lz >= 1) & (lz <= ncell)
-        ).reshape(-1)
-        scatter_idx = jnp.where(
-            interior[:, None], idx_local.reshape(-1, K), n
+        # gather-back: a particle's slot lies in this device's slab iff
+        # its padded x-layer falls in (d*nxl, d*nxl + nxl]; the psum over
+        # devices then counts each particle exactly once
+        rel = gidx - d * nxl * M * M * K
+        in_slab = (rel >= M * M * K) & (rel < (nxl + 1) * M * M * K)
+        rel = jnp.where(in_slab, rel, (nxl + 2) * M * M * K)
+        acc_buckets = jnp.concatenate(
+            [out[:3].reshape(3, -1).T, jnp.zeros((1, 3), jnp.float32)],
+            axis=0,
         )
-        acc_buckets = out[:3].reshape(3, -1).T
-        acc_partial = (
-            jnp.zeros((n + 1, 3), jnp.float32)
-            .at[scatter_idx.reshape(-1)]
-            .add(acc_buckets)[:n]
-        )
+        acc_partial = acc_buckets[rel]
         acc_short_g = jax.lax.psum(acc_partial, axis_name)
         acc_short = jax.lax.dynamic_slice_in_dim(
             acc_short_g, d * n_loc, n_loc, axis=0

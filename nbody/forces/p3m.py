@@ -405,14 +405,16 @@ def build_padded_plane(pos, mass, box: float, r_cut: float, ncell: int,
                        capacity: int):
     """Bucket particles and assemble the ghost-padded SoA cell plane.
 
-    Returns (plane (8, (ncell+2)^3 * K), idx_pad ((ncell+2)^3, K),
-    overflow, K, gidx).  Plane rows are x, y, z, mass, 0, 0, 0, 0; ghost
-    cells replicate the periodic wrap with the +/-box shift baked into
-    their positions; padding bucket slots point at the zero-mass sentinel
-    particle with index n.  ``gidx`` (n,) is each particle's own slot in
-    the padded plane (overflowed particles hold the sentinel M^3 * K) —
-    results come back from bucket tables by a GATHER of n rows, ~6x
-    cheaper than scatter-adding all M^3 K slots on TPU.
+    Returns (plane (8, (ncell+2)^3 * K), overflow, K, gidx).  Plane rows
+    are x, y, z, mass, 0, 0, 0, 0; ghost cells replicate the periodic
+    wrap with the +/-box shift baked into their positions; padding bucket
+    slots hold a far-away zero-mass sentinel.  ``gidx`` (n,) is each
+    particle's own slot in the padded plane (overflowed particles hold
+    the sentinel M^3 * K) — results come back from bucket tables by a
+    GATHER of n rows, ~6x cheaper than scatter-adding all M^3 K slots on
+    TPU.  The plane itself is likewise built by a scatter-SET of n rows
+    into the interior followed by wrap-padding (contiguous slab copies),
+    never by gathering every slot.
     """
     from nbody.mesh.cells import build_cell_list
 
@@ -421,40 +423,57 @@ def build_padded_plane(pos, mass, box: float, r_cut: float, ncell: int,
     K = -(-capacity // 128) * 128  # lane-align bucket width
     cl = build_cell_list(pos.astype(dtype), box, ncell, capacity)
     C3 = ncell**3
-    idx = jnp.concatenate(
-        [cl.indices, jnp.full((C3, K - capacity), n, jnp.int32)], axis=1
-    )
-    posw = jnp.mod(pos, box).astype(dtype)
-    pos_pad = jnp.concatenate([posw, jnp.full((1, 3), -4.0 * r_cut, dtype)], 0)
-    mass_pad = jnp.concatenate([mass.astype(dtype), jnp.zeros((1,), dtype)], 0)
-
     M = ncell + 2
-    g = jnp.arange(M)
-    src1 = jnp.mod(g - 1, ncell)
-    shift1 = ((g - 1) // ncell).astype(dtype) * box
-    px, py, pz = jnp.meshgrid(g, g, g, indexing="ij")
-    src_cid = ((src1[px] * ncell + src1[py]) * ncell + src1[pz]).reshape(-1)
-    idx_pad = idx[src_cid]
-    bpos = pos_pad[idx_pad] + jnp.stack(
-        [shift1[px], shift1[py], shift1[pz]], axis=-1
-    ).reshape(-1, 1, 3)
-    plane = jnp.concatenate(
-        [
-            jnp.moveaxis(bpos, -1, 0),
-            mass_pad[idx_pad][None],
-            jnp.zeros((4, M**3, K), dtype),
-        ],
-        axis=0,
-    ).reshape(8, M**3 * K)
 
-    # interior cell id + rank -> padded-plane slot per particle
+    # interior cell id + rank per particle (K-aligned slot width)
     ov = cl.slots >= C3 * capacity
     cid = jnp.minimum(cl.slots // capacity, C3 - 1)
     rank = cl.slots - cid * capacity
+    slotK = jnp.where(ov, C3 * K, cid * K + rank)
+
+    # scatter-SET the n particle rows into the interior SoA; padding
+    # slots keep the far-away zero-mass sentinel defaults
+    posw = jnp.mod(pos, box).astype(dtype)
+    data = jnp.concatenate([posw, mass.astype(dtype)[:, None]], axis=1)
+    defaults = jnp.asarray([-4.0 * r_cut] * 3 + [0.0], dtype)
+    interior = (
+        jnp.broadcast_to(defaults, (C3 * K + 1, 4))
+        .at[slotK]
+        .set(data)[: C3 * K]
+        .reshape(ncell, ncell, ncell, K, 4)
+    )
+
+    # ghost shell: periodic wrap via contiguous slab copies, with the
+    # +/-box shift baked into the copied coordinates
+    padded = jnp.pad(interior, ((1, 1),) * 3 + ((0, 0), (0, 0)),
+                     mode="wrap")
+    for ax in range(3):
+
+        def shifted(sl, delta):
+            lo = padded[(slice(None),) * ax + (sl,)]
+            return lo.at[..., ax].add(
+                jnp.where(lo[..., 3] > 0, delta, 0.0)
+            )
+
+        padded = padded.at[(slice(None),) * ax + (0,)].set(
+            shifted(0, -box)
+        )
+        padded = padded.at[(slice(None),) * ax + (M - 1,)].set(
+            shifted(M - 1, box)
+        )
+
+    plane = jnp.concatenate(
+        [
+            jnp.moveaxis(padded.reshape(M**3 * K, 4), -1, 0),
+            jnp.zeros((4, M**3 * K), dtype),
+        ],
+        axis=0,
+    )
+
     cx, cy, cz = cid // (ncell * ncell), (cid // ncell) % ncell, cid % ncell
     pad_cid = ((cx + 1) * M + (cy + 1)) * M + (cz + 1)
     gidx = jnp.where(ov, M**3 * K, pad_cid * K + rank)
-    return plane, idx_pad, cl.overflow, K, gidx
+    return plane, cl.overflow, K, gidx
 
 
 def run_cell_plane(
@@ -603,7 +622,7 @@ def p3m_short_cells_pallas(
     dtype = jnp.float32
     M = ncell + 2
 
-    plane, _idx_pad, overflow, K, gidx = build_padded_plane(
+    plane, overflow, K, gidx = build_padded_plane(
         pos, mass, box, r_cut, ncell, capacity
     )
     out = run_cell_plane(

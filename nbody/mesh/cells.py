@@ -34,11 +34,20 @@ class CellList(NamedTuple):
     # back from bucket tables instead of scatter-adding every slot
 
 
-def cell_capacity(n: int, ncell: int, headroom: float = 2.0, minimum: int = 8) -> int:
-    """Static capacity heuristic: headroom x mean occupancy (+Poisson
-    floor), rounded up to a multiple of 8 for sublane alignment."""
+def cell_capacity(n: int, ncell: int, headroom: float = 1.0, minimum: int = 8) -> int:
+    """Static capacity heuristic: mean occupancy + 5 sigma Poisson tail
+    (x headroom), rounded up to a multiple of 8 for sublane alignment.
+
+    Deliberately tight: the Pallas cell kernels lane-align buckets to
+    K = ceil(capacity / 128) * 128 and evaluate O(K^2) pairs per cell, so
+    a capacity that spills past a 128 boundary costs ~4x kernel work.
+    Near-uniform states fit mean + 5 sigma; clustered late-time states
+    overflow regardless of any static margin and are handled by the
+    in-scan overflow self-heal (capacity-doubling re-jit) in
+    run_simulation.
+    """
     mean = n / ncell**3
-    cap = max(minimum, int(headroom * mean + 4.0 * mean**0.5 + 1))
+    cap = max(minimum, int(headroom * (mean + 5.0 * mean**0.5) + 2))
     return -(-cap // 8) * 8
 
 

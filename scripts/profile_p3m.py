@@ -85,28 +85,25 @@ def main():
                                                  ncell, capacity))
     t_build = timed(build, pos, label="build_padded_plane")
 
-    plane, idx_pad, ov, _K = build(pos)
+    plane, ov, _K, gidx = build(pos)
     K = -(-capacity // 128) * 128  # static (jitted build traces its K)
     kern = jax.jit(lambda pl_: run_cell_plane(
         pl_, nx=ncell, ncell=ncell, K=K, eps2=eps * eps, r_s=r_s,
         r_cut=r_cut, split="spline"))
     t_kern = timed(kern, plane, label=f"cell kernel (K={K})")
 
-    # scatter-back cost
+    # gather-back cost
     out = kern(plane)
     M = ncell + 2
-    g = jnp.arange(M)
-    px, py, pz = jnp.meshgrid(g, g, g, indexing="ij")
-    interior = ((px >= 1) & (px <= ncell) & (py >= 1) & (py <= ncell)
-                & (pz >= 1) & (pz <= ncell)).reshape(-1)
-    scatter_idx = jnp.where(interior[:, None], idx_pad, n)
 
-    def scat(o):
-        accb = o[:3].reshape(3, M**3 * K).T
-        return (jnp.zeros((n + 1, 3), jnp.float32)
-                .at[scatter_idx.reshape(-1)].add(accb)[:n])
+    def gath(o):
+        accb = jnp.concatenate(
+            [o[:3].reshape(3, M**3 * K).T, jnp.zeros((1, 3), jnp.float32)],
+            axis=0,
+        )
+        return accb[gidx]
 
-    t_scat = timed(jax.jit(scat), out, label="scatter-back")
+    t_scat = timed(jax.jit(gath), out, label="gather-back")
 
     # VPU floor estimate for the kernel: pairs = ncell^3 * K * 3K * 9
     pairs = ncell**3 * K * 3 * K * 9
