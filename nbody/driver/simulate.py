@@ -340,7 +340,9 @@ def run_simulation(
             else realize_ics(config, seed, base=base)
         )
 
-    # segment boundaries: output times + checkpoint cadence
+    # segment boundaries: output times + checkpoint cadence + a hard
+    # 32-step dispatch cap (long single dispatches can crash the TPU
+    # relay worker — the adaptive path chunks internally the same way)
     if adaptive:
         bounds = sorted({a for a in out_a if a > a_start} | {config.a_end})
     else:
@@ -352,16 +354,21 @@ def run_simulation(
                     checkpoint_every_steps,
                 )
             )
+        bounds |= set(range(start_idx + 32, len(a_grid) - 1, 32))
         bounds = sorted(i for i in bounds if i > start_idx)
 
     log_path = os.path.join(workdir, "run.log") if workdir else None
 
     def log(msg: str) -> None:
         # CONCEPT-style per-phase run log (the reference's per-run
-        # captured stdout logs, SURVEY.md §5.5)
+        # captured stdout logs, SURVEY.md §5.5); without a workdir the
+        # log goes to stdout so in-process callers still see events
+        # (capacity self-heals especially)
         if log_path:
             with open(log_path, "a") as f:
                 f.write(msg + "\n")
+        else:
+            print(f"[run] {msg}", flush=True)
 
     def current_capacity() -> int:
         if cfg_run.cell_capacity:
@@ -486,6 +493,7 @@ def run_simulation(
             log(f"Total adaptive steps: {n_steps_total}")
         else:
             prev = start_idx
+            last_ckpt = start_idx
             for idx in bounds:
                 t_seg = time.perf_counter()
                 state = with_capacity_retry(seg_fixed(prev, idx), state)
@@ -496,7 +504,12 @@ def run_simulation(
                 )
                 if idx in out_idx and workdir:
                     write_outputs(float(a_grid[idx]))
-                if checkpoint_every_steps and workdir and idx < len(a_grid) - 1:
+                if (
+                    checkpoint_every_steps
+                    and workdir
+                    and idx < len(a_grid) - 1
+                    and idx - last_ckpt >= checkpoint_every_steps
+                ):
                     save_checkpoint(
                         os.path.join(workdir, "autosave", "checkpoint.npz"),
                         state,
@@ -506,6 +519,7 @@ def run_simulation(
                             "a": float(a_grid[idx]),
                         },
                     )
+                    last_ckpt = idx
                 prev = idx
 
     return SimulationResult(
