@@ -484,6 +484,7 @@ def make_domain_p3m_local(
     eps: float,
     deconvolve_p: int = 2,
     split: str = "spline",
+    softening: str = "plummer",
     grad_order: str = "fd4",
 ) -> Callable:
     """Local (inside-shard_map) body: acc(pos_l, mass_l, a) -> (g_l, overflow).
@@ -566,6 +567,7 @@ def make_domain_p3m_local(
         out = run_cell_plane(
             plane, nx=nxl, ncell=ncell, K=K, eps2=eps2,
             r_s=geom.r_s, r_cut=geom.r_cut, split=split,
+            softening=softening,
         )
         # gather back: each resident particle's acc lives in exactly one
         # interior slot; the sentinel row zeroes non-resident/overflow

@@ -70,6 +70,9 @@ class SimulationConfig:
     solver: str = "p3m"  # 'pp' | 'pm' | 'p3m' (the reference trichotomy,
     # `Different_Sizes/Giant.param:66-68`)
     softening_frac: float = 0.03  # eps = frac * (box / n_side)
+    softening_kernel: str = "spline"  # 'spline' (cubic spline, exact
+    # Newton beyond 2.8 eps — CONCEPT's default kernel; eps is the
+    # Plummer-equivalent length) | 'plummer'
     deconvolve_p: int = 2
     interlace: bool = False
     force_split: str = "spline"  # P3M split: 'spline' (production, fastest —
@@ -84,6 +87,11 @@ class SimulationConfig:
     a_begin: float = 0.02
     a_end: float = 1.0
     n_steps: int = 142  # CONCEPT's typical count for a=0.02->1 (SURVEY §6)
+    subcycles: int = 1  # P3M: short-range KDK subcycles per global step
+    # (CONCEPT-rung analogue: the far field steps on the global grid
+    # while halo particles get 'subcycles'x finer short-range kicks;
+    # costs (subcycles-1) extra short-range evals per step, no extra
+    # mesh work)
     time_stepping: str = "fixed"  # 'fixed' (log-a grid of n_steps) |
     # 'adaptive' (the run chooses its own steps like CONCEPT's adaptive
     # integration — n_steps then caps the total; run.log gains

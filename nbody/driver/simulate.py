@@ -77,7 +77,10 @@ def build_cosmo_force(config: SimulationConfig, checked: bool = False) -> Callab
         from nbody.forces.ewald import ewald_pp_acc
 
         def pp_fn(pos, mass, a):
-            acc = ewald_pp_acc(pos, mass, box, eps=eps, G=G)
+            acc = ewald_pp_acc(
+                pos, mass, box, eps=eps, G=G,
+                softening=config.softening_kernel,
+            )
             g = acc / jnp.asarray(a, pos.dtype)
             return (g, jnp.int32(0)) if checked else g
 
@@ -88,6 +91,7 @@ def build_cosmo_force(config: SimulationConfig, checked: bool = False) -> Callab
             pos, mass, box, nmesh, G=G, eps=eps,
             deconvolve_p=config.deconvolve_p, interlace=config.interlace,
             split=config.force_split, shortrange=config.shortrange,
+            softening=config.softening_kernel,
             capacity=config.cell_capacity or None,
             with_overflow=checked,
         )
@@ -97,6 +101,41 @@ def build_cosmo_force(config: SimulationConfig, checked: bool = False) -> Callab
         return out / jnp.asarray(a, pos.dtype)
 
     return p3m_fn
+
+
+def build_cosmo_force_split(config: SimulationConfig):
+    """(long_fn, short_fn) halves of the P3M canonical-momentum force for
+    the subcycled integrator: ``long_fn(pos, mass, a) -> g`` (mesh far
+    field), ``short_fn(pos, mass, a) -> (g, overflow)`` (pair
+    correction, checked protocol)."""
+    if config.solver != "p3m":
+        raise ValueError("subcycling applies to the p3m solver only")
+    box, eps, G = config.box, config.eps, units.COSMO.G
+    nmesh = config.mesh_size
+
+    def long_fn(pos, mass, a):
+        acc = p3m_acc(
+            pos, mass, box, nmesh, G=G, eps=eps,
+            deconvolve_p=config.deconvolve_p, interlace=config.interlace,
+            split=config.force_split, shortrange=config.shortrange,
+            softening=config.softening_kernel,
+            capacity=config.cell_capacity or None,
+            part="long",
+        )
+        return acc / jnp.asarray(a, pos.dtype)
+
+    def short_fn(pos, mass, a):
+        acc, ov = p3m_acc(
+            pos, mass, box, nmesh, G=G, eps=eps,
+            deconvolve_p=config.deconvolve_p, interlace=config.interlace,
+            split=config.force_split, shortrange=config.shortrange,
+            softening=config.softening_kernel,
+            capacity=config.cell_capacity or None,
+            with_overflow=True, part="short",
+        )
+        return acc / jnp.asarray(a, pos.dtype), ov
+
+    return long_fn, short_fn
 
 
 def realize_ics(
@@ -285,6 +324,7 @@ def run_simulation(
     from nbody.integrate.cosmo_stepping import (
         make_adaptive_cosmo_runner,
         run_cosmological_checked,
+        run_cosmological_subcycled,
     )
     from nbody.io.checkpoint import (
         latest_checkpoint,
@@ -296,6 +336,12 @@ def run_simulation(
     cosmo = config.cosmology()
     cfg_run = config
     acc_fn = build_cosmo_force(cfg_run, checked=True)
+    split_fns = (
+        build_cosmo_force_split(cfg_run)
+        if config.solver == "p3m" and config.subcycles > 1
+        and config.time_stepping == "fixed"
+        else None
+    )
     adaptive = config.time_stepping == "adaptive"
 
     a_grid = log_a_steps(config.a_begin, config.a_end, config.n_steps)
@@ -354,7 +400,8 @@ def run_simulation(
                     checkpoint_every_steps,
                 )
             )
-        bounds |= set(range(start_idx + 32, len(a_grid) - 1, 32))
+        seg_cap = max(4, 32 // max(1, config.subcycles))
+        bounds |= set(range(start_idx + seg_cap, len(a_grid) - 1, seg_cap))
         bounds = sorted(i for i in bounds if i > start_idx)
 
     log_path = os.path.join(workdir, "run.log") if workdir else None
@@ -379,16 +426,44 @@ def run_simulation(
             config.box, config.mesh_size, config.n_particles
         )[3]
 
+    def _await_device(max_wait_s: float = 600.0) -> bool:
+        """Probe the backend with a trivial dispatch until it answers
+        (the TPU relay worker can crash on long dispatches and takes a
+        little while to come back)."""
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < max_wait_s:
+            try:
+                np.asarray(jnp.arange(2) + 1)
+                return True
+            except jax.errors.JaxRuntimeError:
+                time.sleep(20.0)
+        return False
+
     def with_capacity_retry(run_fn, st):
         """Run one segment; on in-scan bucket overflow, double the cell
         capacity, rebuild (re-jit) the force, and re-run the segment from
         its starting state — results never carry silently dropped
-        short-range force."""
-        nonlocal acc_fn, cfg_run
-        for _ in range(5):
-            new_state, ov = run_fn(st, acc_fn)
+        short-range force.  Device errors (relay worker crash) probe for
+        recovery and re-run the segment, so long runs survive transient
+        backend failures."""
+        nonlocal acc_fn, split_fns, cfg_run
+        device_retries = 3
+        attempts = 5
+        while attempts > 0:
+            try:
+                new_state, ov = run_fn(st, acc_fn, split_fns)
+            except jax.errors.JaxRuntimeError as e:
+                if "UNAVAILABLE" not in str(e) or device_retries == 0:
+                    raise
+                device_retries -= 1
+                log(f"device error ({e}); waiting for backend recovery")
+                if not _await_device():
+                    raise
+                log("backend recovered — re-running segment")
+                continue
             if ov == 0:
                 return new_state
+            attempts -= 1
             new_cap = 2 * current_capacity()
             log(
                 f"P3M cell overflow inside scan ({ov} particles) — "
@@ -396,6 +471,8 @@ def run_simulation(
             )
             cfg_run = cfg_run.replace(cell_capacity=new_cap)
             acc_fn = build_cosmo_force(cfg_run, checked=True)
+            if split_fns is not None:
+                split_fns = build_cosmo_force_split(cfg_run)
         raise RuntimeError(
             "P3M cell capacity retries exhausted — state too clustered"
         )
@@ -403,10 +480,16 @@ def run_simulation(
     n_steps_total = 0
 
     def seg_fixed(prev, idx):
-        def run_fn(st, fn):
-            new, ov = run_cosmological_checked(
-                st, cosmo, a_grid[prev : idx + 1], fn, config.box
-            )
+        def run_fn(st, fn, sfns):
+            if sfns is not None:
+                new, ov = run_cosmological_subcycled(
+                    st, cosmo, a_grid[prev : idx + 1], sfns[0], sfns[1],
+                    config.box, config.subcycles,
+                )
+            else:
+                new, ov = run_cosmological_checked(
+                    st, cosmo, a_grid[prev : idx + 1], fn, config.box
+                )
             jax.block_until_ready(new.pos)
             return new, int(ov)
 
@@ -415,7 +498,7 @@ def run_simulation(
     def seg_adaptive(a_hi):
         cell = config.box / config.mesh_size
 
-        def run_fn(st, fn):
+        def run_fn(st, fn, _sfns):
             nonlocal n_steps_total
             runner = make_adaptive_cosmo_runner(
                 cosmo, fn, config.box, cell,

@@ -104,6 +104,7 @@ def ewald_pp_acc(
     G: float = 1.0,
     r_s: float | None = None,
     n_max: int = 10,
+    softening: str = "plummer",
     interpret: bool | None = None,
 ):
     """Exact periodic direct-summation force (Ewald), Plummer-softened.
@@ -121,7 +122,7 @@ def ewald_pp_acc(
         r_s = box / 16.0
     acc_sr = p3m_short_acc(
         pos, mass, box, float(eps), float(r_s), 0.4999 * box, G=G,
-        interpret=interpret, split="gaussian",
+        interpret=interpret, split="gaussian", softening=softening,
     )
     acc_lr = ewald_kspace_acc(
         pos, mass, box, G=G, r_s=float(r_s), n_max=n_max

@@ -49,54 +49,102 @@ def _erfc_pos(x, expmx2):
     return poly * expmx2
 
 
-def _short_weight(r2, eps2: float, r_s: float, r_cut: float):
-    """C(r) / (r^2 + eps^2)^(3/2), masked beyond r_cut. r2 includes eps2.
-    Floored so the eps=0 self-pair yields w*0 = 0 instead of inf*0."""
+def _soft_newton(r2, eps2: float):
+    """Softened Newton weight F/(G m r) for one pair, i.e. the 1/r^3
+    factor with the chosen softening applied.  ``r2`` does NOT include
+    eps^2.  Plummer: 1/(r^2 + eps^2)^(3/2)."""
+    r2p = jnp.maximum(r2 + eps2, 1e-30)
+    inv_r = jax.lax.rsqrt(r2p)
+    return inv_r * inv_r * inv_r
+
+
+def _soft_newton_spline(r2, eps2: float):
+    """Cubic-spline softened Newton weight (CONCEPT's default softening
+    kernel; the reference's CONCEPT runs use 'softening_kernel':
+    'spline').  eps is the Plummer-EQUIVALENT length; the spline support
+    is h = 2.8 eps, and the force is EXACTLY Newtonian for r >= h —
+    unlike Plummer, which suppresses pair forces by percents out to
+    ~10 eps and systematically weakens halo binding.  Standard cubic
+    spline force factors (Monaghan-Lattanzio kernel)."""
+    h = 2.8 * math.sqrt(eps2) if eps2 > 0 else 0.0
     r2 = jnp.maximum(r2, 1e-30)
     inv_r = jax.lax.rsqrt(r2)
-    r = r2 * inv_r  # r = sqrt(r2), one rsqrt + one mul
+    newton = inv_r * inv_r * inv_r
+    if h == 0.0:
+        return newton
+    h3_inv = 1.0 / h**3
+    u = r2 * inv_r * (1.0 / h)  # r/h
+    u2 = u * u
+    fac_lo = h3_inv * (32.0 / 3.0 + u2 * (32.0 * u - 38.4))
+    inv_u3 = 1.0 / jnp.maximum(u2 * u, 1e-30)
+    fac_hi = h3_inv * (
+        64.0 / 3.0 - 48.0 * u + 38.4 * u2 - (32.0 / 3.0) * u2 * u
+        - (1.0 / 15.0) * inv_u3
+    )
+    return jnp.where(u < 0.5, fac_lo, jnp.where(u < 1.0, fac_hi, newton))
+
+
+def _newton_fn(softening: str):
+    if softening == "plummer":
+        return _soft_newton
+    if softening == "spline":
+        return _soft_newton_spline
+    raise ValueError(f"unknown softening kernel {softening!r}")
+
+
+def _short_weight(r2, eps2: float, r_s: float, r_cut: float,
+                  softening: str = "plummer"):
+    """Gaussian-split short-range weight C(r) * soft_newton(r), masked
+    beyond r_cut.  ``r2`` does NOT include eps^2; the softening kernel
+    applies it.  Multiplying the split function by the SOFTENED Newton
+    weight keeps every factor finite (no (1-C)/r^3 cancellation against
+    the erfc approximation error at r -> 0); the decomposition error
+    (1-C)(soft - newton) has support only at r < h where 1-C is
+    O((h/2 r_s)^3) — negligible for any sane eps << r_s."""
+    r2f = jnp.maximum(r2, 1e-30)
+    inv_r = jax.lax.rsqrt(r2f)
+    r = r2f * inv_r  # r = sqrt(r2), one rsqrt + one mul
     x = r / (2.0 * r_s)
     expmx2 = jnp.exp(-x * x)
     corr = _erfc_pos(x, expmx2) + (r / r_s) * _INV_SQRT_PI * expmx2
-    w = corr * inv_r * inv_r * inv_r
-    return jnp.where(r2 < r_cut * r_cut, w, 0.0)
+    w = corr * _newton_fn(softening)(r2, eps2)
+    return jnp.where(r2f < r_cut * r_cut, w, 0.0)
 
 
-def _spline_short_weight(r2, r_s: float, r_cut: float):
-    """Polynomial-spline short-range force weight (r_s unused — the spline
-    split has a single scale r_cut).
+def _spline_short_weight(r2, eps2: float, r_s: float, r_cut: float,
+                         softening: str = "plummer"):
+    """Polynomial-spline force-SPLIT short-range weight (r_s unused —
+    the spline split has a single scale r_cut).
 
     Complement of :func:`nbody.forces.pm.spline_longrange_filter`:
-    w(r) = 1/r^3 + q'(u) / (r_cut^2 r), u = r/r_cut,
-    q'(u) = (-70 u + 84 u^3 - 30 u^5)/16.  Pure Newton at r -> 0,
-    EXACTLY zero at r_cut (q'(1) = -1), C^2-smooth in between, and —
-    unlike the Ewald erfc/exp weight — costs one rsqrt plus a handful of
-    FMAs per pair, so the cell kernels run at the VPU's dense-kernel
-    rate.  ``r2`` includes the Plummer eps^2 (softens the Newton term;
-    the spline term is smooth anyway).
+    w(r) = soft_newton(r) + g(u^2) / r_cut^3, u = r/r_cut,
+    g(u^2) = (-70 + 84 u^2 - 30 u^4)/16 (= q'(u)/u).  Softened Newton
+    at r -> 0, EXACTLY zero at r_cut for the unsoftened kernel
+    (q'(1) = -1), C^2-smooth in between, and — unlike the Ewald
+    erfc/exp weight — costs one rsqrt plus a handful of FMAs per pair,
+    so the cell kernels run at the VPU's dense-kernel rate.  ``r2`` does
+    NOT include eps^2; the softening kernel applies it.
     """
-    r2 = jnp.maximum(r2, 1e-30)
-    inv_r = jax.lax.rsqrt(r2)
-    r = r2 * inv_r
-    u = r * (1.0 / r_cut)
-    u2 = u * u
-    qp = u * (-70.0 / 16.0 + u2 * (84.0 / 16.0 - u2 * (30.0 / 16.0)))
-    w = inv_r * inv_r * inv_r + qp * inv_r * (1.0 / (r_cut * r_cut))
-    return jnp.where(r2 < r_cut * r_cut, w, 0.0)
+    r2f = jnp.maximum(r2, 1e-30)
+    u2 = r2f * (1.0 / (r_cut * r_cut))
+    g = (-70.0 + u2 * (84.0 - u2 * 30.0)) * (1.0 / 16.0)
+    w = _newton_fn(softening)(r2, eps2) + g * (1.0 / r_cut**3)
+    return jnp.where(r2f < r_cut * r_cut, w, 0.0)
 
 
-def _weight_fn(split: str):
+def _weight_fn(split: str, softening: str = "plummer"):
     if split == "gaussian":
-        return _short_weight
+        return functools.partial(_short_weight, softening=softening)
     if split == "spline":
-        return lambda r2, eps2, r_s, r_cut: _spline_short_weight(r2, r_s, r_cut)
+        return functools.partial(_spline_short_weight, softening=softening)
     raise ValueError(f"unknown split {split!r}")
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "box", "eps", "r_s", "r_cut", "G", "ti", "tj", "interpret", "split"
+        "box", "eps", "r_s", "r_cut", "G", "ti", "tj", "interpret", "split",
+        "softening",
     ),
 )
 def p3m_short_acc(
@@ -111,6 +159,7 @@ def p3m_short_acc(
     tj: int = 2048,
     interpret: bool | None = None,
     split: str = "gaussian",
+    softening: str = "plummer",
 ):
     """Short-range P3M correction force (minimum-image periodic).
 
@@ -149,8 +198,8 @@ def p3m_short_acc(
         dx = mimg(xj - xi)
         dy = mimg(yj - yi)
         dz = mimg(zj - zi)
-        r2 = dx * dx + dy * dy + dz * dz + eps * eps
-        w = mj * _weight_fn(split)(r2, eps * eps, r_s, r_cut)
+        r2 = dx * dx + dy * dy + dz * dz
+        w = mj * _weight_fn(split, softening)(r2, eps * eps, r_s, r_cut)
         ax = jnp.sum(w * dx, axis=1)
         ay = jnp.sum(w * dy, axis=1)
         az = jnp.sum(w * dz, axis=1)
@@ -180,12 +229,13 @@ def p3m_short_acc(
     return out[:3, :n].T * G
 
 
-def p3m_short_direct(pos, mass, box, eps, r_s, r_cut, G=1.0, split="gaussian"):
+def p3m_short_direct(pos, mass, box, eps, r_s, r_cut, G=1.0, split="gaussian",
+                     softening="plummer"):
     """Dense jnp oracle for the short-range sum (tests)."""
     d = pos[None, :, :] - pos[:, None, :]
     d = d - box * jnp.round(d / box)
-    r2 = jnp.sum(d * d, axis=-1) + jnp.asarray(eps, pos.dtype) ** 2
-    w = mass[None, :] * _weight_fn(split)(r2, eps**2, r_s, r_cut)
+    r2 = jnp.sum(d * d, axis=-1)
+    w = mass[None, :] * _weight_fn(split, softening)(r2, eps**2, r_s, r_cut)
     n = pos.shape[0]
     w = jnp.where(jnp.eye(n, dtype=bool), 0.0, w)
     return G * jnp.einsum("ij,ijk->ik", w, d)
@@ -205,11 +255,18 @@ def p3m_acc(
     interpret: bool | None = None,
     shortrange: str = "auto",
     split: str = "gaussian",
+    softening: str = "plummer",
     capacity: int | None = None,
     with_overflow: bool = False,
+    part: str = "both",
 ):
     """Full P3M acceleration: filtered PM far field + short-range
     correction.
+
+    ``part``: 'both' (full force) | 'long' (mesh far field only) |
+    'short' (pair correction only) — the split halves feed
+    :func:`nbody.integrate.cosmo_stepping.run_cosmological_subcycled`,
+    which subcycles the short half inside each global step.
 
     Defaults follow the usual P3M practice: r_s = 1.25 cell widths,
     r_cut = 4.5 r_s (C(r_cut) < 2e-3).  ``shortrange`` picks the
@@ -231,17 +288,20 @@ def p3m_acc(
         r_s = 1.25 * cell
     if r_cut is None:
         r_cut = 4.5 * r_s
-    acc_long = pm_acc(
-        pos,
-        mass,
-        box,
-        nmesh,
-        G=G,
-        deconvolve_p=deconvolve_p,
-        interlace=interlace,
-        longrange_split=float(r_s) if split == "gaussian" else 0.0,
-        spline_split=float(r_cut) if split == "spline" else 0.0,
-    )
+    if part != "short":
+        acc_long = pm_acc(
+            pos,
+            mass,
+            box,
+            nmesh,
+            G=G,
+            deconvolve_p=deconvolve_p,
+            interlace=interlace,
+            longrange_split=float(r_s) if split == "gaussian" else 0.0,
+            spline_split=float(r_cut) if split == "spline" else 0.0,
+        )
+        if part == "long":
+            return acc_long
     n = pos.shape[0]
     if shortrange == "auto":
         shortrange = "cells" if n > 65536 else "allpairs"
@@ -258,16 +318,18 @@ def p3m_acc(
         acc_short, overflow = p3m_short_cells_pallas(
             pos, mass, box, float(eps), float(r_s), float(r_cut), G=G,
             ncell=ncell, capacity=capacity, split=split,
+            softening=softening,
         )
     else:
         acc_short = p3m_short_acc(
             pos, mass, box, float(eps), float(r_s), float(r_cut), G=G,
-            interpret=interpret, split=split,
+            interpret=interpret, split=split, softening=softening,
         )
         overflow = jnp.int32(0)
+    acc = acc_short if part == "short" else acc_long + acc_short
     if with_overflow:
-        return acc_long + acc_short, overflow
-    return acc_long + acc_short
+        return acc, overflow
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +341,7 @@ def p3m_acc(
     jax.jit,
     static_argnames=(
         "box", "eps", "r_s", "r_cut", "G", "ncell", "capacity", "cell_chunk",
-        "split",
+        "split", "softening",
     ),
 )
 def p3m_short_cells(
@@ -295,6 +357,7 @@ def p3m_short_cells(
     capacity: int,
     cell_chunk: int = 0,
     split: str = "gaussian",
+    softening: str = "plummer",
 ):
     """Short-range P3M force via a fixed-capacity cell list.
 
@@ -367,8 +430,10 @@ def p3m_short_cells(
             nmass = bmass[nid]
             nidx = bidx[nid]
             d = npos[:, None, :, :] - cpos[:, :, None, :]  # (chunk, K, K, 3)
-            r2 = jnp.sum(d * d, axis=-1) + eps2
-            w = nmass[:, None, :] * _weight_fn(split)(r2, eps2, r_s, r_cut)
+            r2 = jnp.sum(d * d, axis=-1)
+            w = nmass[:, None, :] * _weight_fn(split, softening)(
+                r2, eps2, r_s, r_cut
+            )
             w = jnp.where(cidx[:, :, None] == nidx[:, None, :], 0.0, w)
             acc = acc + jnp.einsum("ckj,ckjd->ckd", w, d)
         return acc
@@ -478,7 +543,8 @@ def build_padded_plane(pos, mass, box: float, r_cut: float, ncell: int,
 
 def run_cell_plane(
     plane, *, nx: int, ncell: int, K: int, eps2: float, r_s: float,
-    r_cut: float, split: str = "gaussian", interpret: bool | None = None,
+    r_cut: float, split: str = "gaussian", softening: str = "plummer",
+    interpret: bool | None = None,
 ):
     """Run the cell-pair kernel over a (slab of a) ghost-padded plane.
 
@@ -506,7 +572,7 @@ def run_cell_plane(
         functools.partial(
             _cell_kernel,
             ncell=ncell, K=K, eps2=eps2, r_s=float(r_s), r_cut=float(r_cut),
-            split=split,
+            split=split, softening=softening,
         ),
         grid=(nx * ncell, 9),
         in_specs=[
@@ -520,7 +586,7 @@ def run_cell_plane(
 
 
 def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
-                 split="gaussian"):
+                 split="gaussian", softening="plummer"):
     """One ghost-padded z-column of cells vs one (ox, oy) neighbor column.
 
     i_ref/j_ref/out_ref: (8, (ncell+2)*K) padded columns — rows x, y, z,
@@ -535,7 +601,7 @@ def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    wfn = _weight_fn(split)
+    wfn = _weight_fn(split, softening)
     JB = 384  # j-chunk width: 3K % 384 == 0 since K % 128 == 0
 
     # Two rolled fori_loops (not unrolled Python loops): Mosaic allocates
@@ -560,7 +626,7 @@ def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
             dx = xj - xi
             dy = yj - yi
             dz = zj - zi
-            r2 = dx * dx + dy * dy + dz * dz + eps2
+            r2 = dx * dx + dy * dy + dz * dz
             w = mj * wfn(r2, eps2, r_s, r_cut)
             ax = jnp.sum(w * dx, axis=1)
             ay = jnp.sum(w * dy, axis=1)
@@ -583,7 +649,7 @@ def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
     jax.jit,
     static_argnames=(
         "box", "eps", "r_s", "r_cut", "G", "ncell", "capacity", "interpret",
-        "split",
+        "split", "softening",
     ),
 )
 def p3m_short_cells_pallas(
@@ -599,6 +665,7 @@ def p3m_short_cells_pallas(
     capacity: int,
     interpret: bool | None = None,
     split: str = "gaussian",
+    softening: str = "plummer",
 ):
     """Short-range P3M via a Pallas cell-pair kernel.
 
@@ -627,7 +694,8 @@ def p3m_short_cells_pallas(
     )
     out = run_cell_plane(
         plane, nx=ncell, ncell=ncell, K=K, eps2=float(eps) ** 2,
-        r_s=r_s, r_cut=r_cut, split=split, interpret=interpret,
+        r_s=r_s, r_cut=r_cut, split=split, softening=softening,
+        interpret=interpret,
     )
 
     # gather back: each particle's acceleration lives in exactly one

@@ -146,6 +146,98 @@ def run_cosmological_checked(
     return _run_scan_checked(state, xs, jnp.asarray(box, dtype), acc_fn)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("acc_long_fn", "acc_short_fn", "n_sub")
+)
+def _run_scan_subcycled(state, xs, box, acc_long_fn, acc_short_fn, n_sub):
+    gl0 = acc_long_fn(state.pos, state.mass, state.time)
+    gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
+
+    def body(carry, x):
+        st, gl, gs, ov = carry
+        a1, kl1, kl2, ks1, drs, ks2, a_sub = x
+        p = st.vel + gl * kl1  # long half-kick (far field frozen)
+        pos = st.pos
+
+        def sub(j, c):
+            pos, p, gs, ov2 = c
+            p1 = p + gs * ks1[j]
+            pos1 = jnp.mod(pos + p1 * drs[j], box)
+            gs1, o = acc_short_fn(pos1, st.mass, a_sub[j])
+            p2 = p1 + gs1 * ks2[j]
+            return pos1, p2, gs1, jnp.maximum(ov2, o)
+
+        pos, p, gs, ov = jax.lax.fori_loop(
+            0, n_sub, sub, (pos, p, gs, ov)
+        )
+        gl_new = acc_long_fn(pos, st.mass, a1)
+        p = p + gl_new * kl2
+        st = st.replace(pos=pos, vel=p, time=a1)
+        return (st, gl_new, gs, ov), None
+
+    (final, _, _, ov), _ = jax.lax.scan(body, (state, gl0, gs0, ov0), xs)
+    return final, ov
+
+
+def run_cosmological_subcycled(
+    state: ParticleState,
+    cosmo: Cosmology,
+    a_grid,
+    acc_long_fn,
+    acc_short_fn,
+    box: float,
+    n_sub: int,
+):
+    """Split-Hamiltonian KDK: far field at the global step, short range
+    subcycled ``n_sub``x inside it.
+
+    The TPU equivalent of CONCEPT's rung subdivision (run-log "Rung
+    population" lines,
+    `TheFeedingPipeline/.../params_id0000….log:6700-6719`): halo
+    particles need short-range kicks at a cadence finer than the
+    background step, while the mesh far field is smooth in time.  Every
+    global step costs ONE far-field evaluation plus ``n_sub``
+    short-range evaluations (the trailing subcycle force is reused as
+    the next step's leading one, and positions do not move during the
+    long kicks, so no force is ever recomputed at an unchanged
+    position).
+
+    ``acc_long_fn(pos, mass, a) -> g``;
+    ``acc_short_fn(pos, mass, a) -> (g, overflow:int32)`` (the checked
+    protocol).  Returns (final_state, max overflow).
+    """
+    a_grid = np.asarray(a_grid, dtype=np.float64)
+    n_steps = len(a_grid) - 1
+    a0s, a1s = a_grid[:-1], a_grid[1:]
+    ams = np.sqrt(a0s * a1s)
+    KL1, _, KL2, _ = cosmo_kick_drift_factors(cosmo, a_grid)
+
+    Ks1 = np.empty((n_steps, n_sub))
+    Drs = np.empty((n_steps, n_sub))
+    Ks2 = np.empty((n_steps, n_sub))
+    A_sub = np.empty((n_steps, n_sub))
+    for i in range(n_steps):
+        sub = np.geomspace(a0s[i], a1s[i], n_sub + 1)
+        k1, dr, k2, _ = cosmo_kick_drift_factors(cosmo, sub)
+        Ks1[i], Drs[i], Ks2[i] = k1, dr, k2
+        A_sub[i] = sub[1:]
+
+    dtype = state.pos.dtype
+    xs = (
+        jnp.asarray(a1s, dtype),
+        jnp.asarray(KL1, dtype),
+        jnp.asarray(KL2, dtype),
+        jnp.asarray(Ks1, dtype),
+        jnp.asarray(Drs, dtype),
+        jnp.asarray(Ks2, dtype),
+        jnp.asarray(A_sub, dtype),
+    )
+    return _run_scan_subcycled(
+        state, xs, jnp.asarray(box, dtype), acc_long_fn, acc_short_fn,
+        int(n_sub),
+    )
+
+
 def log_a_steps(a_begin: float, a_end: float, n_steps: int) -> np.ndarray:
     """Log-uniform scale-factor grid (CONCEPT-style stepping from
     a_begin=0.02, reference `Different_Sizes/Giant.param` a_begin)."""

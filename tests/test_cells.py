@@ -210,14 +210,18 @@ class TestSplineSplit:
         from nbody.forces.p3m import _spline_short_weight
 
         rc = 10.0
-        # exactly zero at r_cut, pure Newton at small r
-        w_rc = float(_spline_short_weight(jnp.asarray(rc**2), 0.0, rc))
+        # exactly zero at r_cut, pure Newton at small r (eps2=0; r_s is
+        # unused by the spline split)
+        w_rc = float(_spline_short_weight(jnp.asarray(rc**2), 0.0, 0.0, rc))
         assert abs(w_rc) < 1e-10
         r = 0.01 * rc
-        w0 = float(_spline_short_weight(jnp.asarray(r**2), 0.0, rc))
+        w0 = float(_spline_short_weight(jnp.asarray(r**2), 0.0, 0.0, rc))
         assert w0 == pytest.approx(1.0 / r**3, rel=1e-3)
         # beyond cutoff: identically zero
-        assert float(_spline_short_weight(jnp.asarray((1.5 * rc) ** 2), 0.0, rc)) == 0.0
+        assert (
+            float(_spline_short_weight(jnp.asarray((1.5 * rc) ** 2), 0.0, 0.0, rc))
+            == 0.0
+        )
 
     def test_matches_gaussian_split_total(self):
         """Both splits approximate the same periodic force."""
