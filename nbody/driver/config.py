@@ -43,6 +43,10 @@ class OutputConfig:
     # reference's {'4*k_min': 4, '100*k_min': 40}
     powerspec_k_max: str = "nyquist"  # 'nyquist' | 'corner' ('concept'
     # binning only)
+    powerspec_interpolation: str = "cic"  # 'cic' | 'tsc' | 'pcs'
+    # (B-spline assignment order for the measurement deposit; CONCEPT's
+    # global default is PCS, the reference's SnapVsPK study switches to
+    # CIC — `Uncertain.param:89`)
     realization_correction: bool = False  # divide the realization's own
     # linear-spectrum scatter out of the corrected column (CONCEPT's
     # 'realization correction': True)

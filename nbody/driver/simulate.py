@@ -198,11 +198,14 @@ def measure_powerspec(
     realization's own linear-spectrum scatter out of the corrected
     column, cancelling cosmic variance like the reference's
     'realization correction': True."""
-    from nbody.mesh.cic import cic_deposit_interlaced_k
+    from nbody.mesh.cic import bspline_deposit, bspline_deposit_interlaced_k
     from nbody.mesh.spectrum import concept_bin_edges
 
     nmesh = config.mesh_size
     n_bins = config.output.powerspec_bins
+    order = {"cic": 2, "tsc": 3, "pcs": 4}[
+        config.output.powerspec_interpolation
+    ]
     edges = None
     if config.output.powerspec_binning == "concept":
         edges = concept_bin_edges(
@@ -210,7 +213,9 @@ def measure_powerspec(
             config.output.powerspec_k_max,
         )
     if config.interlace:
-        rho_k = cic_deposit_interlaced_k(pos, config.box, nmesh)
+        rho_k = bspline_deposit_interlaced_k(
+            pos, config.box, nmesh, order=order
+        )
         delta_k = rho_k / (pos.shape[0] / nmesh**3)
         delta_k = delta_k.at[0, 0, 0].set(0.0)
         raw = power_spectrum(
@@ -219,14 +224,15 @@ def measure_powerspec(
         )
         corr = power_spectrum(
             delta_k, config.box, n_bins=n_bins, deconvolve_p=1,
-            is_fourier=True, edges=edges,
+            is_fourier=True, edges=edges, window_order=order,
         )
     else:
-        grid = cic_deposit(pos, config.box, nmesh)
+        grid = bspline_deposit(pos, config.box, nmesh, order=order)
         delta = density_to_delta(grid, pos.shape[0])
         raw = power_spectrum(delta, config.box, n_bins=n_bins, edges=edges)
         corr = power_spectrum(
             delta, config.box, n_bins=n_bins, deconvolve_p=1, edges=edges,
+            window_order=order,
         )
     k = np.asarray(raw.k)
     modes = np.asarray(raw.n_modes)

@@ -71,7 +71,10 @@ def concept_bin_edges(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("box", "nmesh", "n_bins", "deconvolve_p", "convention"),
+    static_argnames=(
+        "box", "nmesh", "n_bins", "deconvolve_p", "convention",
+        "window_order",
+    ),
 )
 def _power_from_delta_k(
     delta_k,
@@ -81,6 +84,7 @@ def _power_from_delta_k(
     deconvolve_p: int,
     convention: str,
     edges=None,
+    window_order: int = 2,
 ):
     dtype = delta_k.real.dtype
     V = box**3
@@ -94,7 +98,13 @@ def _power_from_delta_k(
 
     pk3 = jnp.abs(delta_k) ** 2 * jnp.asarray(norm, dtype)
     if deconvolve_p:
-        W = cic_window(nmesh, box, p=2 * deconvolve_p, dtype=dtype)
+        # each deconvolved assignment divides the AMPLITUDE by the
+        # B-spline window prod_i sinc^order (CIC order 2: the
+        # reference's `deconvolve_cic`, `SnapVsPK/Power_compare.py:
+        # 80-97`), so the POWER is divided by prod sinc^(2 order)
+        W = cic_window(
+            nmesh, box, p=2 * window_order * deconvolve_p, dtype=dtype
+        )
         pk3 = pk3 / jnp.maximum(W, 1e-12)
 
     km = kmag(nmesh, box, rfft=True, dtype=dtype)
@@ -134,6 +144,7 @@ def power_spectrum(
     convention: str = "grid",
     is_fourier: bool = False,
     edges=None,
+    window_order: int = 2,
 ):
     """Spherically averaged P(k) of a real overdensity grid.
 
@@ -142,8 +153,10 @@ def power_spectrum(
         ``is_fourier=True`` (e.g. from cic_deposit_interlaced_k).
       box: box side length.
       n_bins: number of logarithmic k bins (ignored when ``edges`` given).
-      deconvolve_p: 0 = no CIC correction; 1 = divide P by W^2 (deposit
-        deconvolution, reference ``deconvolve=True``); 2 = divide by W^4.
+      deconvolve_p: number of CIC assignments to deconvolve: 0 = none;
+        1 = deposit only (reference ``deconvolve=True`` — the amplitude
+        is divided by the CIC window prod sinc^2, i.e. P by prod
+        sinc^4); 2 = deposit + gather.
       convention: "grid" or "fac" (the reference's use_fac toggle).
       edges: explicit bin-edge array (e.g. :func:`concept_bin_edges` for
         the reference's variable bins-per-decade layout).
@@ -163,4 +176,5 @@ def power_spectrum(
     return _power_from_delta_k(
         delta_k, float(box), nmesh, n_bins, deconvolve_p, convention,
         edges=None if edges is None else jnp.asarray(edges),
+        window_order=window_order,
     )
