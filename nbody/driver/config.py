@@ -47,6 +47,9 @@ class OutputConfig:
     # (B-spline assignment order for the measurement deposit; CONCEPT's
     # global default is PCS, the reference's SnapVsPK study switches to
     # CIC — `Uncertain.param:89`)
+    powerspec_interlace: int = -1  # -1: follow the force's
+    # SimulationConfig.interlace; 0/1: force off/on for the MEASUREMENT
+    # deposit only (CONCEPT keeps these separate options)
     realization_correction: bool = False  # divide the realization's own
     # linear-spectrum scatter out of the corrected column (CONCEPT's
     # 'realization correction': True)

@@ -212,7 +212,12 @@ def measure_powerspec(
             config.box, nmesh, config.output.bins_per_decade,
             config.output.powerspec_k_max,
         )
-    if config.interlace:
+    interlace = (
+        bool(config.interlace)
+        if config.output.powerspec_interlace < 0
+        else bool(config.output.powerspec_interlace)
+    )
+    if interlace:
         rho_k = bspline_deposit_interlaced_k(
             pos, config.box, nmesh, order=order
         )

@@ -84,16 +84,18 @@ def cic_gather(grid, pos, box):
     return out
 
 
-def cic_gather_vec(grids, pos, box):
+def cic_gather_vec(grids, pos, box, shift: float = 0.0):
     """CIC-interpolate C grids at once: grids (C, N, N, N) -> (n, C).
 
     One index/weight computation + one fused gather of (C,)-vectors per
     corner instead of C full passes — the PM force readback (3 components)
-    is gather-bound on TPU, so this is ~3x cheaper than 3 cic_gather calls.
+    is gather-bound on TPU, so this is ~3x cheaper than 3 cic_gather
+    calls.  ``shift`` (cells) reads from a half-cell-offset grid (the
+    second interlacing pass).
     """
     C = grids.shape[0]
     nmesh = grids.shape[1]
-    s = pos * (nmesh / box)
+    s = pos * (nmesh / box) - shift
     i0 = jnp.floor(s)
     f = s - i0
     i0 = i0.astype(jnp.int32)
@@ -190,7 +192,11 @@ def bspline_deposit_interlaced_k(pos, box, nmesh: int, order: int = 2,
     k1 = jnp.fft.rfftn(g1)
     d = box / nmesh
     kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=g0.dtype)
-    phase = jnp.exp(1j * ((kx + ky + kz) * (d / 2.0)).astype(k0.real.dtype))
+    # the half-cell-shifted deposit samples rho((j + 1/2) d), so its
+    # transform carries e^{+i k.d/2} relative to the unshifted grid —
+    # align with e^{-i k.d/2} (the + sign SUPPRESSES high-k power by
+    # cos^2 instead of cancelling the odd alias images)
+    phase = jnp.exp(-1j * ((kx + ky + kz) * (d / 2.0)).astype(k0.real.dtype))
     return 0.5 * (k0 + k1 * phase)
 
 
@@ -275,5 +281,9 @@ def cic_deposit_interlaced_k(pos, box, nmesh: int, weights=None):
     k1 = jnp.fft.rfftn(g1)
     d = box / nmesh
     kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=g0.dtype)
-    phase = jnp.exp(1j * ((kx + ky + kz) * (d / 2.0)).astype(k0.real.dtype))
+    # the half-cell-shifted deposit samples rho((j + 1/2) d), so its
+    # transform carries e^{+i k.d/2} relative to the unshifted grid —
+    # align with e^{-i k.d/2} (the + sign SUPPRESSES high-k power by
+    # cos^2 instead of cancelling the odd alias images)
+    phase = jnp.exp(-1j * ((kx + ky + kz) * (d / 2.0)).astype(k0.real.dtype))
     return 0.5 * (k0 + k1 * phase)
