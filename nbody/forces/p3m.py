@@ -544,7 +544,7 @@ def build_padded_plane(pos, mass, box: float, r_cut: float, ncell: int,
 def run_cell_plane(
     plane, *, nx: int, ncell: int, K: int, eps2: float, r_s: float,
     r_cut: float, split: str = "gaussian", softening: str = "plummer",
-    interpret: bool | None = None,
+    interpret: bool | None = None, jb: int = 0,
 ):
     """Run the cell-pair kernel over a (slab of a) ghost-padded plane.
 
@@ -572,7 +572,7 @@ def run_cell_plane(
         functools.partial(
             _cell_kernel,
             ncell=ncell, K=K, eps2=eps2, r_s=float(r_s), r_cut=float(r_cut),
-            split=split, softening=softening,
+            split=split, softening=softening, jb=jb,
         ),
         grid=(nx * ncell, 9),
         in_specs=[
@@ -586,7 +586,7 @@ def run_cell_plane(
 
 
 def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
-                 split="gaussian", softening="plummer"):
+                 split="gaussian", softening="plummer", jb=0):
     """One ghost-padded z-column of cells vs one (ox, oy) neighbor column.
 
     i_ref/j_ref/out_ref: (8, (ncell+2)*K) padded columns — rows x, y, z,
@@ -602,15 +602,18 @@ def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     wfn = _weight_fn(split, softening)
-    JB = 384  # j-chunk width: 3K % 384 == 0 since K % 128 == 0
+    # j-chunk width: must divide 3K (K % 128 == 0 makes 384 always
+    # valid).  Auto: the full 3K window while the (K, 3K) pair
+    # temporaries stay well under the 16 MB scoped-vmem limit, else 384.
+    JB = jb if jb else (3 * K if K * 3 * K * 4 * 8 < 8 * 2**20 else 384)
 
     # Two rolled fori_loops (not unrolled Python loops): Mosaic allocates
     # kernel stack per unrolled op AND the (K, 3K) pair temporaries scale
     # as K^2 — at the deep bucket capacities the clustering self-heal can
-    # reach (K ~ 640+), either form of materialising the full window
-    # blows the 16 MB scoped-vmem limit.  Chunking the j-window to
-    # (K, 384) keeps the stack O(K) regardless of ncell or capacity.
-    # Dynamic slice starts are multiples of 128: lane-aligned.
+    # reach (K ~ 640+), materialising the full window blows the 16 MB
+    # scoped-vmem limit; chunking the j-window keeps the stack O(K * JB)
+    # regardless of ncell or capacity.  Dynamic slice starts are
+    # multiples of 128: lane-aligned.
     def body(b, carry):
         i_blk = i_ref[:, pl.ds(b * K, K)]
         xi = i_blk[0][:, None]

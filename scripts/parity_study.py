@@ -56,6 +56,10 @@ def main():
     cfg = SimulationConfig(
         n_side=64, box=500.0, solver="p3m", pm_grid=128, n_steps=142,
         transfer=REF,
+        # CONCEPT-matched physics: cubic-spline softening and 4x
+        # short-range subcycling (the rung-subdivision analogue;
+        # converged — 8x gives the same spectrum)
+        softening_kernel="spline", subcycles=4,
         output=OutputConfig(
             dir=OUT, snapshot_times=(1.0,), powerspec=False, snapshot=False,
             powerspec_bins=48,
