@@ -27,6 +27,18 @@ def _add_sim_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--a-end", type=float)
     p.add_argument("--n-steps", type=int)
     p.add_argument("--lpt-order", type=int, choices=(1, 2))
+    p.add_argument("--time-stepping", choices=("fixed", "adaptive"))
+    p.add_argument(
+        "--subcycles", type=int,
+        help="P3M short-range KDK subcycles per global step "
+        "(CONCEPT-rung analogue)",
+    )
+    p.add_argument("--softening-kernel", choices=("spline", "plummer"))
+    p.add_argument(
+        "--force-split", choices=("spline", "gaussian"), dest="force_split"
+    )
+    p.add_argument("--interlace", action="store_const", const=True,
+                   default=None)
     p.add_argument("--A-s", type=float, dest="A_s")
     p.add_argument("--n-s", type=float, dest="n_s")
     p.add_argument("--omega-cdm", type=float)
@@ -50,6 +62,8 @@ def _config_from_args(args) -> "SimulationConfig":
     for flag in (
         "box", "n_side", "pm_grid", "solver", "a_begin", "a_end",
         "n_steps", "lpt_order", "A_s", "n_s", "omega_cdm", "h",
+        "time_stepping", "subcycles", "softening_kernel", "force_split",
+        "interlace",
     ):
         v = getattr(args, flag, None)
         if v is not None:

@@ -78,14 +78,23 @@ def parse_concept_param(path: str, defines: dict | None = None) -> dict:
     ns.update(defines or {})
     tree = ast.parse(src)
     kms = units.KMS_IN_MPC_PER_GYR
-    for node in tree.body:
-        stmt = ast.Module(body=[node], type_ignores=[])
-        try:
-            exec(compile(stmt, path, "exec"), ns)  # noqa: S102 — config DSL
-        except Exception:  # noqa: BLE001 — skip unevaluable statements
-            pass
-        if "H0" in ns and "h" not in ns:
-            ns["h"] = ns["H0"] / (100.0 * kms)
+    failed = list(tree.body)
+    # up to three passes: CONCEPT's DSL allows forward references (the
+    # reference's files use `8*Mpc/h` in powerspec_options long before
+    # the cosmology block defines H0, from which h derives)
+    for _ in range(3):
+        still = []
+        for node in failed:
+            stmt = ast.Module(body=[node], type_ignores=[])
+            try:
+                exec(compile(stmt, path, "exec"), ns)  # noqa: S102 — DSL
+            except Exception:  # noqa: BLE001 — retry next pass
+                still.append(node)
+            if "H0" in ns and "h" not in ns:
+                ns["h"] = ns["H0"] / (100.0 * kms)
+        if not still:
+            break
+        failed = still
     return ns
 
 
@@ -140,11 +149,58 @@ def config_from_param_namespace(ns: dict) -> SimulationConfig:
         if isinstance(inter, tuple):
             kw["interlace"] = bool(inter[0])
 
+    # softening kernel (CONCEPT: 'softening_kernel' = {'matter': ...} or
+    # a plain string; its global default is 'spline', as is ours)
+    sk = ns.get("softening_kernel")
+    if isinstance(sk, dict):
+        sk = sk.get("matter") or sk.get("default")
+    if sk in ("spline", "plummer"):
+        kw["softening_kernel"] = sk
+
     out_kw = {}
     ot = ns.get("output_times")
     if isinstance(ot, dict) and isinstance(ot.get("snapshot"), (list, tuple)):
         out_kw["snapshot_times"] = tuple(float(a) for a in ot["snapshot"])
         kw["a_end"] = max(out_kw["snapshot_times"])
+
+    # powerspec_options (the reference's measurement block,
+    # `SnapVsPK/Uncertain.param:83-107`)
+    pso = ns.get("powerspec_options")
+    if isinstance(pso, dict):
+
+        def _default(key):
+            v = pso.get(key)
+            if isinstance(v, dict):
+                return v.get("default")
+            return v
+
+        interp = _default("interpolation")
+        if isinstance(interp, str) and interp.lower() in ("cic", "tsc", "pcs"):
+            out_kw["powerspec_interpolation"] = interp.lower()
+        il = _default("interlace")
+        if isinstance(il, bool):
+            out_kw["powerspec_interlace"] = int(il)
+        rc = _default("realization correction")
+        if isinstance(rc, bool):
+            out_kw["realization_correction"] = rc
+        kmax = _default("k_max")
+        if kmax in ("nyquist", "corner"):
+            out_kw["powerspec_k_max"] = kmax
+            out_kw.setdefault("powerspec_binning", "concept")
+        bpd = _default("bins per decade")
+        if isinstance(bpd, dict) and bpd:
+            # keys are expressions like '  4*k_min' -> anchor multiple
+            anchors = []
+            for key, val in bpd.items():
+                try:
+                    mult = float(str(key).replace("*k_min", "").strip())
+                except ValueError:
+                    continue
+                anchors.append((mult, float(val)))
+            if anchors:
+                out_kw["bins_per_decade"] = tuple(sorted(anchors))
+                out_kw.setdefault("powerspec_binning", "concept")
+
     if out_kw:
         kw["output"] = OutputConfig(**out_kw)
     return cfg.replace(**kw)

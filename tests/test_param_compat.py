@@ -111,3 +111,23 @@ def test_cli_accepts_param_file(tmp_path, capsys):
     assert rc == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["solver"] == "p3m" and info["n_particles"] == 512
+
+
+def test_uncertain_param_measurement_options():
+    """The reference's Uncertain.param powerspec_options block maps onto
+    our measurement config: CIC interpolation, interlacing, realization
+    correction, nyquist cut, and the {4*k_min: 4, 100*k_min: 40}
+    bins-per-decade anchors (`SnapVsPK/Uncertain.param:83-107`).  The
+    tophat entry references h long before the cosmology block defines
+    H0 — exercises the parser's forward-reference retry."""
+    from nbody.driver.param_compat import load_concept_param
+
+    cfg = load_concept_param("/root/reference/SnapVsPK/Uncertain.param")
+    o = cfg.output
+    assert o.powerspec_interpolation == "cic"
+    assert o.powerspec_interlace == 1
+    assert o.realization_correction is True
+    assert o.powerspec_k_max == "nyquist"
+    assert o.powerspec_binning == "concept"
+    assert o.bins_per_decade == ((4.0, 4.0), (100.0, 40.0))
+    assert cfg.softening_kernel == "spline"
