@@ -350,7 +350,6 @@ def run_simulation(
     split_fns = (
         build_cosmo_force_split(cfg_run)
         if config.solver == "p3m" and config.subcycles > 1
-        and config.time_stepping == "fixed"
         else None
     )
     adaptive = config.time_stepping == "adaptive"
@@ -509,13 +508,16 @@ def run_simulation(
     def seg_adaptive(a_hi):
         cell = config.box / config.mesh_size
 
-        def run_fn(st, fn, _sfns):
+        def run_fn(st, fn, sfns):
             nonlocal n_steps_total
             runner = make_adaptive_cosmo_runner(
                 cosmo, fn, config.box, cell,
                 dla_max=config.step_dla_max,
                 eta_disp=config.step_eta_disp,
-                max_steps=32,  # chunked dispatches (TPU relay limit)
+                # chunked dispatches (TPU relay limit)
+                max_steps=max(4, 32 // max(1, config.subcycles)),
+                split_fns=sfns,
+                n_sub=config.subcycles,
             )
             while float(st.time) < a_hi * (1.0 - 1e-9):
                 st, n, ov, dla, hist = runner(

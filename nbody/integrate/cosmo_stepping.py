@@ -266,6 +266,8 @@ def make_adaptive_cosmo_runner(
     eta_disp: float = 0.25,
     max_steps: int = 32,
     n_rungs: int = 8,
+    split_fns=None,
+    n_sub: int = 1,
 ):
     """Build a jitted adaptive KDK chunk runner.
 
@@ -289,6 +291,12 @@ def make_adaptive_cosmo_runner(
     ``max_steps`` bounds one dispatch — chunk at the host to respect the
     TPU relay's dispatch-length limit and call repeatedly until arrival.
 
+    ``split_fns=(long_fn, short_fn)`` with ``n_sub > 1`` composes the
+    adaptive background step with short-range subcycling — CONCEPT's
+    actual structure (adaptive global step + rung subdivision): the far
+    field kicks at the chosen step's half-points while the short-range
+    KDK runs n_sub x inside it, all factors Gauss-Legendre on device.
+
     Returns run(state, a_end) ->
     (state, n_steps:int32, overflow:int32, dla_last, rung_hist (n_rungs,)).
     """
@@ -309,7 +317,12 @@ def make_adaptive_cosmo_runner(
     def run(state: ParticleState, a_end):
         dtype = state.pos.dtype
         a_end = jnp.asarray(a_end, dtype)
-        g0, ov0 = acc_fn(state.pos, state.mass, state.time)
+        if split_fns is not None and n_sub > 1:
+            gl0 = split_fns[0](state.pos, state.mass, state.time)
+            gs0, ov0 = split_fns[1](state.pos, state.mass, state.time)
+            g0 = (gl0, gs0)
+        else:
+            g0, ov0 = acc_fn(state.pos, state.mass, state.time)
         hist0 = jnp.zeros((n_rungs,), jnp.int32)
 
         def demand(st):
@@ -321,13 +334,8 @@ def make_adaptive_cosmo_runner(
             st, n = carry[0], carry[5]
             return jnp.logical_and(st.time < a_end, n < max_steps)
 
-        def body(carry):
-            st, g, ov, _dla, _hist, n = carry
-            dla_i = demand(st)
-            dla = jnp.clip(jnp.min(dla_i), dla_floor, dla_max)
-            dla = jnp.minimum(dla, jnp.log(a_end) - jnp.log(st.time))
-            a0 = st.time
-            a1 = jnp.exp(jnp.log(a0) + dla)
+        def kick_drift(st, g, a0, a1):
+            """Plain KDK over [a0, a1] with the combined force."""
             am = jnp.sqrt(a0 * a1)
             k1 = _integrate(lambda a: 1.0 / (a * _H(a)), a0, am, dtype)
             k2 = _integrate(lambda a: 1.0 / (a * _H(a)), am, a1, dtype)
@@ -336,7 +344,60 @@ def make_adaptive_cosmo_runner(
             pos_new = jnp.mod(st.pos + p_half * dr, box)
             g_new, ov_new = acc_fn(pos_new, st.mass, a1)
             p_new = p_half + g_new * k2
-            st = st.replace(pos=pos_new, vel=p_new, time=a1)
+            return st.replace(pos=pos_new, vel=p_new, time=a1), g_new, ov_new
+
+        def kick_drift_sub(st, g, a0, a1):
+            """Split step over [a0, a1]: far-field half-kicks around the
+            midpoint, short-range KDK subcycled n_sub x inside.  ``g`` is
+            the carried (g_long, g_short) pair — positions do not move
+            during long kicks, so the trailing subcycle force is reused
+            as the next step's leading one."""
+            gl, gs = g
+            long_fn, short_fn = split_fns
+            am = jnp.sqrt(a0 * a1)
+            kl1 = _integrate(lambda a: 1.0 / (a * _H(a)), a0, am, dtype)
+            kl2 = _integrate(lambda a: 1.0 / (a * _H(a)), am, a1, dtype)
+            lnr = (jnp.log(a1) - jnp.log(a0)) / n_sub
+            p = st.vel + gl * kl1
+            pos = st.pos
+
+            def sub(j, c):
+                pos, p, gs, ov2 = c
+                b0 = jnp.exp(jnp.log(a0) + j * lnr)
+                b1 = jnp.exp(jnp.log(a0) + (j + 1) * lnr)
+                bm = jnp.sqrt(b0 * b1)
+                ks1 = _integrate(lambda a: 1.0 / (a * _H(a)), b0, bm, dtype)
+                ks2 = _integrate(lambda a: 1.0 / (a * _H(a)), bm, b1, dtype)
+                drs = _integrate(
+                    lambda a: 1.0 / (a**3 * _H(a)), b0, b1, dtype
+                )
+                p1 = p + gs * ks1
+                pos1 = jnp.mod(pos + p1 * drs, box)
+                gs1, o = short_fn(pos1, st.mass, b1)
+                return pos1, p1 + gs1 * ks2, gs1, jnp.maximum(ov2, o)
+
+            pos, p, gs, ov_new = jax.lax.fori_loop(
+                0, n_sub, sub, (pos, p, gs, jnp.int32(0))
+            )
+            gl_new = long_fn(pos, st.mass, a1)
+            p = p + gl_new * kl2
+            return (
+                st.replace(pos=pos, vel=p, time=a1),
+                (gl_new, gs),
+                ov_new,
+            )
+
+        subcycled = split_fns is not None and n_sub > 1
+        stepper = kick_drift_sub if subcycled else kick_drift
+
+        def body(carry):
+            st, g, ov, _dla, _hist, n = carry
+            dla_i = demand(st)
+            dla = jnp.clip(jnp.min(dla_i), dla_floor, dla_max)
+            dla = jnp.minimum(dla, jnp.log(a_end) - jnp.log(st.time))
+            a0 = st.time
+            a1 = jnp.exp(jnp.log(a0) + dla)
+            st, g_new, ov_new = stepper(st, g, a0, a1)
             rung = jnp.clip(
                 jnp.ceil(jnp.log2(dla_max / jnp.maximum(dla_i, 1e-30))),
                 0, n_rungs - 1,

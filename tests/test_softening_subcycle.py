@@ -205,3 +205,28 @@ class TestSubcycledStepping:
         res = run_simulation(cfg, seed=3, workdir=str(tmp_path))
         assert np.isfinite(np.asarray(res.state.pos)).all()
         assert abs(float(res.state.time) - 1.0) < 1e-9
+
+
+class TestAdaptiveSubcycled:
+    def test_adaptive_with_subcycles_runs_and_matches(self, tmp_path):
+        """CONCEPT's actual stepping structure: adaptive background step
+        + short-range subdivision.  The composed tier reaches a_end,
+        logs rung populations, and lands near the plain adaptive
+        trajectory (subcycling refines, not redirects)."""
+        from nbody.driver.config import OutputConfig, SimulationConfig
+        from nbody.driver.simulate import run_simulation
+
+        base = SimulationConfig(
+            n_side=8, box=250.0, pm_grid=16, solver="p3m", a_begin=0.5,
+            shortrange="allpairs", time_stepping="adaptive",
+            output=OutputConfig(snapshot_times=(), powerspec=False,
+                                snapshot=False),
+        )
+        r1 = run_simulation(base, seed=2, workdir=str(tmp_path / "a"))
+        r2 = run_simulation(base.replace(subcycles=4), seed=2,
+                            workdir=str(tmp_path / "b"))
+        log = open(tmp_path / "b" / "run.log").read()
+        assert "Rung population: matter:" in log
+        assert abs(float(r2.state.time) - 1.0) < 1e-9
+        d = np.abs(np.asarray(r1.state.pos) - np.asarray(r2.state.pos)).max()
+        assert d < 2.0
