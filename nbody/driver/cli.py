@@ -156,6 +156,8 @@ def cmd_measure(args) -> int:
         state, meta = read_snapshot(p)
         n_side = max(2, round(state.n ** (1 / 3)))
         h = meta.H0 / units.H100_GYR if meta.H0 else 0.67
+        from nbody.driver.config import OutputConfig
+
         cfg = SimulationConfig(
             box=meta.boxsize or args.box,
             n_side=n_side,
@@ -164,6 +166,10 @@ def cmd_measure(args) -> int:
             omega_cdm=meta.Omega_cdm * h**2 if meta.Omega_cdm else 0.12,
             omega_b=meta.Omega_b * h**2 if meta.Omega_b else 0.022,
             interlace=getattr(args, "interlace", False),
+            output=OutputConfig(
+                powerspec_interpolation=args.interpolation,
+                powerspec_binning=args.binning,
+            ),
         )
         out = (
             os.path.join(
@@ -286,6 +292,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("measure", help="P(k) from HDF5 snapshots")
     p.add_argument("snapshots", nargs="+", help="snapshot files or dirs")
     p.add_argument("--nmesh", type=int, default=0)
+    p.add_argument("--interpolation", choices=("cic", "tsc", "pcs"),
+                   default="cic")
+    p.add_argument("--binning", choices=("geomspace", "concept"),
+                   default="geomspace")
     p.add_argument(
         "--interlace", action="store_true",
         help="two half-cell-shifted deposits combined in k space",
