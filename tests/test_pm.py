@@ -137,3 +137,28 @@ def test_linear_growth_end_to_end():
     ratio = np.asarray(res1.power)[good] / np.asarray(res0.power)[good]
     # stochastic single realization: agree with linear growth to 20%
     np.testing.assert_allclose(ratio.mean() / growth, 1.0, atol=0.2)
+
+
+def test_interlaced_force_two_pass_scatter():
+    """Regression: interlaced PM forces must gather from BOTH grids
+    (CONCEPT's two passes).  A single-grid gather of the combined
+    potential carried +-200% particle-placement scatter; the two-pass
+    readback keeps pair forces within a few % scatter of Newton."""
+    box, nmesh = 1000.0, 64
+    cell = box / nmesh
+    r = 100.0
+    rng = np.random.default_rng(2)
+    vals = []
+    for _ in range(8):
+        off = rng.uniform(0, cell, 3)
+        pos = jnp.asarray(
+            np.array([[500.0 - r / 2, 500.0, 500.0],
+                      [500.0 + r / 2, 500.0, 500.0]]) + off
+        )
+        acc = np.asarray(
+            pm_acc(pos, jnp.ones(2), box, nmesh, interlace=True)
+        )
+        np.testing.assert_allclose(acc[0, 0], -acc[1, 0], rtol=1e-6)
+        vals.append(acc[0, 0] * r**2)
+    assert abs(np.mean(vals) - 1.0) < 0.12
+    assert np.std(vals) < 0.05
