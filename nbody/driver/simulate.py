@@ -449,6 +449,42 @@ def run_simulation(
                 time.sleep(20.0)
         return False
 
+    def prewarm_capacity(st) -> None:
+        """Before a segment, bump the cell capacity to fit the CURRENT
+        state's densest bucket (plus clustering headroom) — one cheap
+        host-side bincount instead of an in-scan overflow triggering a
+        re-jit AND a full segment re-run."""
+        nonlocal acc_fn, split_fns, cfg_run
+        if config.solver != "p3m":
+            return
+        from nbody.forces.p3m import p3m_short_params
+
+        r_cut = p3m_short_params(
+            config.box, config.mesh_size, config.n_particles
+        )[1]
+        ncell = int(config.box / r_cut)
+        if ncell < 3:
+            return
+        pos = np.mod(np.asarray(st.pos), config.box)
+        c = np.clip(
+            (pos * (ncell / config.box)).astype(np.int64), 0, ncell - 1
+        )
+        cid = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
+        occ = int(np.bincount(cid, minlength=ncell**3).max())
+        # snap to the next 128-lane quantum: the Pallas bucket width is
+        # K = ceil(capacity/128)*128, so any headroom within the quantum
+        # is free and crossing it early would cost ~4x kernel work
+        needed = -(-(occ + 4) // 128) * 128
+        if needed > current_capacity():
+            log(
+                f"pre-warming P3M cell capacity to {needed} "
+                f"(densest bucket {occ})"
+            )
+            cfg_run = cfg_run.replace(cell_capacity=needed)
+            acc_fn = build_cosmo_force(cfg_run, checked=True)
+            if split_fns is not None:
+                split_fns = build_cosmo_force_split(cfg_run)
+
     def with_capacity_retry(run_fn, st):
         """Run one segment; on in-scan bucket overflow, double the cell
         capacity, rebuild (re-jit) the force, and re-run the segment from
@@ -457,6 +493,7 @@ def run_simulation(
         recovery and re-run the segment, so long runs survive transient
         backend failures."""
         nonlocal acc_fn, split_fns, cfg_run
+        prewarm_capacity(st)
         device_retries = 3
         attempts = 5
         while attempts > 0:

@@ -228,8 +228,9 @@ class TestAdaptiveStepping:
 class TestCellOverflowSelfHeal:
     def test_overflow_triggers_capacity_doubling(self, tmp_path):
         """A clustered state whose cell buckets overflow used to silently
-        lose short-range force inside the scan; now the segment re-runs
-        with doubled capacity (VERDICT round 1 item #6)."""
+        lose short-range force inside the scan; now the pre-segment
+        host-side check raises the capacity up front (and the in-scan
+        self-heal backstops anything it misses)."""
         import jax.numpy as jnp
 
         from nbody.core.types import ParticleState
@@ -259,7 +260,8 @@ class TestCellOverflowSelfHeal:
             cfg, seed=0, workdir=str(tmp_path), initial_state=state
         )
         logtxt = open(os.path.join(str(tmp_path), "run.log")).read()
-        assert "doubling cell capacity" in logtxt
+        assert ("doubling cell capacity" in logtxt
+                or "pre-warming P3M cell capacity" in logtxt)
         assert np.isfinite(np.asarray(res.state.pos)).all()
 
 
