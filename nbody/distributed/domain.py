@@ -173,7 +173,13 @@ def slab_exchange(
     cx = jnp.clip((x * (ncell / box)).astype(jnp.int32), 0, ncell - 1)
     dest = cx // nxl
     go_r = valid & (dest == jnp.mod(d + 1, n_dev)) if n_dev > 1 else jnp.zeros_like(valid)
-    go_l = valid & (dest == jnp.mod(d - 1, n_dev)) if n_dev > 1 else jnp.zeros_like(valid)
+    if n_dev == 2:
+        # (d+1)%2 == (d-1)%2: the two directions reach the SAME neighbour, so
+        # a dest!=d mask used for both would deliver every migrant twice
+        # (mass duplication).  Send all migrants via the forward permute only.
+        go_l = jnp.zeros_like(valid)
+    else:
+        go_l = valid & (dest == jnp.mod(d - 1, n_dev)) if n_dev > 1 else jnp.zeros_like(valid)
     if n_dev > 2:
         far = valid & (dest != d) & ~go_r & ~go_l
     else:

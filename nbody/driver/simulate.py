@@ -206,12 +206,21 @@ def measure_powerspec(
     order = {"cic": 2, "tsc": 3, "pcs": 4}[
         config.output.powerspec_interpolation
     ]
-    edges = None
     if config.output.powerspec_binning == "concept":
         edges = concept_bin_edges(
             config.box, nmesh, config.output.bins_per_decade,
             config.output.powerspec_k_max,
         )
+    else:
+        # Explicit geomspace edges from the MEASUREMENT mesh, shared by
+        # every power_spectrum call below.  Relying on each call's
+        # internal default would let the realization-correction spectrum
+        # (computed on the n_side grid) derive edges from its own corner
+        # mode — a different binning, silently misaligning the per-bin
+        # correction factors (shapes still match).
+        k_fund = 2.0 * np.pi / config.box
+        k_corner = k_fund * nmesh * np.sqrt(3.0) / 2.0 * 1.0000001
+        edges = np.geomspace(k_fund * 0.999, k_corner, n_bins + 1)
     interlace = (
         bool(config.interlace)
         if config.output.powerspec_interlace < 0
@@ -525,6 +534,29 @@ def run_simulation(
         )
 
     n_steps_total = 0
+    _runner_cache: dict = {}
+
+    def get_adaptive_runner(fn, sfns):
+        """Adaptive runner, cached on the (acc_fn, split_fns) identity:
+        construction re-jits (30-300 s over the remote compile service),
+        so rebuild only when a capacity re-jit actually changed the
+        force closures — not on every segment."""
+        key = (fn, sfns)
+        runner = _runner_cache.get(key)
+        if runner is None:
+            cell = config.box / config.mesh_size
+            runner = make_adaptive_cosmo_runner(
+                cosmo, fn, config.box, cell,
+                dla_max=config.step_dla_max,
+                eta_disp=config.step_eta_disp,
+                # chunked dispatches (TPU relay limit)
+                max_steps=max(4, 32 // max(1, config.subcycles)),
+                split_fns=sfns,
+                n_sub=config.subcycles,
+            )
+            _runner_cache.clear()  # stale closures never come back
+            _runner_cache[key] = runner
+        return runner
 
     def seg_fixed(prev, idx):
         def run_fn(st, fn, sfns):
@@ -543,19 +575,14 @@ def run_simulation(
         return run_fn
 
     def seg_adaptive(a_hi):
-        cell = config.box / config.mesh_size
+        n_entry = n_steps_total  # so a capacity-retry re-run of this
+        # segment does not double-count its pre-overflow chunks in the
+        # "Time step NNNN" log numbering
 
         def run_fn(st, fn, sfns):
             nonlocal n_steps_total
-            runner = make_adaptive_cosmo_runner(
-                cosmo, fn, config.box, cell,
-                dla_max=config.step_dla_max,
-                eta_disp=config.step_eta_disp,
-                # chunked dispatches (TPU relay limit)
-                max_steps=max(4, 32 // max(1, config.subcycles)),
-                split_fns=sfns,
-                n_sub=config.subcycles,
-            )
+            n_steps_total = n_entry
+            runner = get_adaptive_runner(fn, sfns)
             while float(st.time) < a_hi * (1.0 - 1e-9):
                 st, n, ov, dla, hist = runner(
                     st, jnp.asarray(a_hi, st.pos.dtype)

@@ -30,6 +30,7 @@ the short-range cell list.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -188,6 +189,9 @@ def blocked_cic_deposit(
         t = jnp.einsum("cxk,cyk->cxyk", wx, wy)
         return jnp.einsum("cxyk,czk->cxyz", t, wz)
 
+    # chunks must divide nb^3; small meshes (B3 < chunks) would otherwise
+    # fail the reshape below, so fall back to the largest divisor
+    chunks = math.gcd(chunks, B3)
     csize = B3 // chunks
     sub = jax.lax.map(
         chunk_fn,
@@ -246,6 +250,7 @@ def blocked_cic_gather_vec(
         t = jnp.einsum("cyzkf,cyk->czkf", t, wy)
         return jnp.einsum("czkf,czk->ckf", t, wz)  # (c, K, C)
 
+    chunks = math.gcd(chunks, B3)
     csize = B3 // chunks
     vals = jax.lax.map(
         chunk_fn,

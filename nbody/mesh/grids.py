@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,8 +33,11 @@ def kvecs(
         k1 = k1.copy()
         k1[nmesh // 2] = 0.0
         kzl[-1 if rfft else nmesh // 2] = 0.0
-    k1 = jnp.asarray(k1, dtype)
-    kz = jnp.asarray(kzl, dtype)
+    # Resolve the dtype host-side first: asking jnp.asarray for float64 on an
+    # f32-only backend emits a truncation UserWarning on every call.
+    np_dtype = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
+    k1 = jnp.asarray(k1.astype(np_dtype))
+    kz = jnp.asarray(kzl.astype(np_dtype))
     return (
         k1[:, None, None],
         k1[None, :, None],
@@ -54,13 +58,19 @@ def rfft_mode_weights(nmesh: int, dtype=jnp.float32):
     w[0] = 1.0
     if nmesh % 2 == 0:
         w[-1] = 1.0
-    return jnp.asarray(w, dtype)[None, None, :]
+    return jnp.asarray(w.astype(np.dtype(jax.dtypes.canonicalize_dtype(dtype))))[
+        None, None, :
+    ]
 
 
 def lattice(nmesh: int, box: float, dtype=jnp.float32):
     """(nmesh^3, 3) particle lattice on grid nodes (the reference's
     linspace(0, L, N, endpoint=False) meshgrid,
     `SnapVsPK/Power_compare.py:346-352`)."""
-    x = jnp.asarray(np.arange(nmesh) * (box / nmesh), dtype)
+    x = jnp.asarray(
+        (np.arange(nmesh) * (box / nmesh)).astype(
+            np.dtype(jax.dtypes.canonicalize_dtype(dtype))
+        )
+    )
     X, Y, Z = jnp.meshgrid(x, x, x, indexing="ij")
     return jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)

@@ -168,6 +168,51 @@ class TestExchange:
         np.testing.assert_allclose(a, b, atol=0)
 
 
+    def test_two_device_exchange_conserves_mass(self):
+        """n_dev == 2 regression: (d+1)%2 == (d-1)%2, so using a
+        dest!=d mask for both directions delivered every migrant TWICE
+        (total mass 2 -> 3 with overflow 0, silent corruption)."""
+        box, ncell, D = 80.0, 8, 2
+        mesh2 = device_mesh(2)
+        _, state = _cosmo_system(256, box, seed=13)
+        st = domain_decompose(state, mesh2, box, ncell=ncell)
+        C = st.pos.shape[0] // D
+        rng = np.random.default_rng(5)
+        drift = jnp.asarray(
+            rng.uniform(-0.49 * box / D, 0.49 * box / D, (D * C, 3))
+        )
+        moved = jnp.mod(st.pos + drift * (st.mass > 0)[:, None], box)
+
+        def body(p, v, m):
+            return slab_exchange(
+                p, v, m, box=box, ncell=ncell, n_dev=D,
+                exchange_capacity=C, axis_name="shard",
+            )
+
+        f = shard_map(
+            body, mesh=mesh2,
+            in_specs=(P("shard"),) * 3,
+            out_specs=(P("shard"), P("shard"), P("shard"), P()),
+            check_vma=False,
+        )
+        pos2, vel2, mass2, ov = jax.jit(f)(moved, st.vel, st.mass)
+        assert int(jnp.max(ov)) == 0
+        total0 = float(jnp.sum(st.mass))
+        total1 = float(jnp.sum(mass2))
+        np.testing.assert_allclose(total1, total0, rtol=1e-12)
+        mass_np = np.asarray(mass2)
+        assert (mass_np > 0).sum() == state.n
+        # every valid particle resident in its own slab
+        pos_np = np.asarray(pos2)
+        valid = mass_np > 0
+        cx = np.clip(
+            (np.mod(pos_np[valid, 0], box) * (ncell / box)).astype(int),
+            0, ncell - 1,
+        )
+        row_dev = np.repeat(np.arange(D), C)[valid]
+        np.testing.assert_array_equal(cx // (ncell // D), row_dev)
+
+
 class TestDomainP3M:
     def test_force_matches_single_device(self, mesh8):
         """Domain-decomposed P3M == single-device P3M on the identical

@@ -89,3 +89,76 @@ def test_pallas_requires_softening():
     pos, mass = random_system(8)
     with pytest.raises(ValueError):
         allpairs_pallas(pos, mass, eps=0.0)
+
+
+# ---------------------------------------------------------------------------
+# MXU Gram-matrix kernel (nbody/forces/pallas_mxu.py)
+# ---------------------------------------------------------------------------
+
+from nbody.forces.pallas_mxu import allpairs_pallas_mxu, morton_codes
+
+
+@pytest.mark.parametrize("n", [200, 700, 1500])
+def test_mxu_matches_oracle(n):
+    """Gram kernel vs dense jnp oracle (f64 backend: cancellation
+    negligible, agreement should be near-exact; self-pair rows are
+    zeroed inside the kernel)."""
+    rng = np.random.default_rng(n)
+    pos = jnp.asarray(rng.uniform(0, 300.0, (n, 3)))
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n))
+    eps, G = 0.2, 1.7
+    acc_ref = direct_acc(pos, mass, eps=eps, G=G)
+    pot_ref = direct_potential(pos, mass, eps=eps, G=G)
+    acc, phi = allpairs_pallas_mxu(pos, mass, eps=eps, G=G, ti=128, tj=256)
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(acc_ref), rtol=1e-8, atol=1e-10
+    )
+    e_pot = 0.5 * float(jnp.sum(mass * phi))
+    np.testing.assert_allclose(e_pot, float(pot_ref), rtol=1e-9)
+
+
+def test_mxu_unsorted_matches_sorted():
+    """sort=False takes the same kernel without the Morton permutation."""
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(0, 50.0, (384, 3)))
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, 384))
+    a1, p1 = allpairs_pallas_mxu(pos, mass, eps=0.1, ti=128, tj=128)
+    a2, p2 = allpairs_pallas_mxu(pos, mass, eps=0.1, ti=128, tj=128,
+                                 sort=False)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-9)
+
+
+def test_mxu_matches_exact_kernel_f32():
+    """f32 envelope vs the exact-dx Pallas kernel on a box-scale system
+    (the documented Gram-cancellation envelope, RESULTS.md round 3)."""
+    rng = np.random.default_rng(9)
+    n = 2048
+    pos = jnp.asarray(rng.uniform(0, 500.0, (n, 3)), jnp.float32)
+    mass = jnp.ones((n,), jnp.float32)
+    eps = 0.5
+    a_ref = direct_acc(
+        pos.astype(jnp.float64), mass.astype(jnp.float64), eps=eps
+    )
+    acc, _ = allpairs_pallas_mxu(pos, mass, eps=eps, ti=128, tj=256)
+    err = np.linalg.norm(
+        np.asarray(acc, np.float64) - np.asarray(a_ref), axis=1
+    ) / np.linalg.norm(np.asarray(a_ref), axis=1)
+    assert np.median(err) < 1e-4 and err.max() < 1e-2
+
+
+def test_mxu_requires_softening():
+    pos, mass = random_system(8)
+    with pytest.raises(ValueError):
+        allpairs_pallas_mxu(pos, mass, eps=0.0)
+
+
+def test_morton_codes_locality():
+    """Sorted neighbours in code order are spatially close on average."""
+    rng = np.random.default_rng(2)
+    pos = jnp.asarray(rng.uniform(0, 1.0, (4096, 3)))
+    order = np.asarray(jnp.argsort(morton_codes(pos)))
+    p = np.asarray(pos)[order]
+    d_sorted = np.linalg.norm(np.diff(p, axis=0), axis=1).mean()
+    d_rand = np.linalg.norm(np.diff(np.asarray(pos), axis=0), axis=1).mean()
+    assert d_sorted < 0.4 * d_rand
