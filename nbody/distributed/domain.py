@@ -152,6 +152,7 @@ def slab_exchange(
     n_dev: int,
     exchange_capacity: int,
     axis_name: str,
+    extras: tuple = (),
 ):
     """Migrate boundary-crossing particles to the neighbouring slabs.
 
@@ -160,7 +161,10 @@ def slab_exchange(
     true for any stable timestep since slab width >> per-step drift;
     violations are counted in the returned overflow).  Empty slots are
     re-parked at the slab centre.  Returns
-    (pos, vel, mass, overflow:int32).
+    (pos, vel, mass, overflow:int32) — or
+    (pos, vel, mass, extras_out, overflow) when ``extras`` (a tuple of
+    per-particle (C, ...) arrays, e.g. a carried force) are given; they
+    ride the same permutation so rows stay aligned with their particles.
     """
     d = jax.lax.axis_index(axis_name)
     C = pos_l.shape[0]
@@ -192,26 +196,32 @@ def slab_exchange(
         cnt = jnp.sum(flag)
         slot = jnp.arange(E) < cnt
         m = jnp.where(slot, mass_l[sel], 0.0)
-        return pos_l[sel], vel_l[sel], m, jnp.maximum(cnt - E, 0)
+        ex = tuple(e[sel] for e in extras)
+        return pos_l[sel], vel_l[sel], m, ex, jnp.maximum(cnt - E, 0)
 
-    pr, vr, mr, ov_r = pack(go_r)
-    plft, vlft, mlft, ov_l = pack(go_l)
+    pr, vr, mr, exr, ov_r = pack(go_r)
+    plft, vlft, mlft, exl, ov_l = pack(go_l)
 
     fwd, bwd = _perm_fwd(n_dev), _perm_bwd(n_dev)
     # right-goers travel +1; left-goers travel -1
-    rp = [jax.lax.ppermute(t, axis_name, fwd) for t in (pr, vr, mr)]
-    lp = [jax.lax.ppermute(t, axis_name, bwd) for t in (plft, vlft, mlft)]
+    rp = [jax.lax.ppermute(t, axis_name, fwd) for t in (pr, vr, mr, *exr)]
+    lp = [jax.lax.ppermute(t, axis_name, bwd) for t in (plft, vlft, mlft, *exl)]
 
     cand_pos = jnp.concatenate([pos_l, rp[0], lp[0]], axis=0)
     cand_vel = jnp.concatenate([vel_l, rp[1], lp[1]], axis=0)
     cand_mass = jnp.concatenate(
         [jnp.where(stay, mass_l, 0.0), rp[2], lp[2]], axis=0
     )
+    cand_extras = tuple(
+        jnp.concatenate([extras[t], rp[3 + t], lp[3 + t]], axis=0)
+        for t in range(len(extras))
+    )
     cand_valid = cand_mass > 0
     order = jnp.argsort(~cand_valid)[:C]  # valid rows first, truncate to C
     new_pos = cand_pos[order]
     new_vel = cand_vel[order]
     new_mass = cand_mass[order]
+    new_extras = tuple(e[order] for e in cand_extras)
     n_valid = jnp.sum(cand_valid)
     ov_cap = jnp.maximum(n_valid - C, 0)
 
@@ -226,6 +236,8 @@ def slab_exchange(
     new_pos = jnp.where(ok[:, None], new_pos, park[None, :])
     new_vel = jnp.where(ok[:, None], new_vel, 0.0)
     overflow = (ov_r + ov_l + ov_cap + jnp.sum(far)).astype(jnp.int32)
+    if extras:
+        return new_pos, new_vel, new_mass, new_extras, overflow
     return new_pos, new_vel, new_mass, overflow
 
 
@@ -359,26 +371,31 @@ def build_local_plane(
 
 
 def slab_deposit(pos_l, mass_l, *, box: float, nmesh: int, n_dev: int,
-                 axis_name: str):
+                 axis_name: str, shift: float = 0.0):
     """CIC deposit of resident particles onto the local grid x-slab.
 
-    The one spill plane (particles in the slab's last grid layer reach
-    one plane into the next slab) travels right by a single ``ppermute``
-    and is added to the neighbour's first plane.  Empty slots (mass 0)
-    deposit nothing.  Returns the (nmesh/D, nmesh, nmesh) local slab.
+    Spill planes (particles whose trilinear cloud reaches one plane into
+    a neighbouring slab) travel by a single ``ppermute`` each way and are
+    added to the neighbours' edge planes.  Empty slots (mass 0) deposit
+    nothing.  ``shift`` (cells) offsets the grid origin — the second
+    interlacing pass (cf. :func:`nbody.mesh.cic.cic_deposit`).  Returns
+    the (nmesh/D, nmesh, nmesh) local slab.
     """
     import itertools
 
     d = jax.lax.axis_index(axis_name)
     Xl = nmesh // n_dev
     dtype = pos_l.dtype
-    s = jnp.mod(pos_l, box) * (nmesh / box)
+    s = jnp.mod(pos_l, box) * (nmesh / box) - shift
     i0 = jnp.floor(s)
     f = s - i0
     i0 = i0.astype(jnp.int32)
-    il = jnp.clip(i0[:, 0] - d * Xl, 0, Xl - 1)
+    # two-sided buffer: with shift > 0 a resident particle's base plane
+    # can be one to the LEFT of the slab; plane index 1..Xl are the
+    # slab's own planes, 0 / Xl+1 the spills
+    il = jnp.clip(i0[:, 0] - d * Xl + 1, 0, Xl + 1)
 
-    flat = jnp.zeros(((Xl + 1) * nmesh * nmesh,), dtype)
+    flat = jnp.zeros(((Xl + 2) * nmesh * nmesh,), dtype)
     for dx, dy, dz in itertools.product((0, 1), repeat=3):
         w = (
             (f[:, 0] if dx else 1.0 - f[:, 0])
@@ -386,32 +403,41 @@ def slab_deposit(pos_l, mass_l, *, box: float, nmesh: int, n_dev: int,
             * (f[:, 2] if dz else 1.0 - f[:, 2])
             * mass_l
         )
-        ix = il + dx
+        ix = jnp.clip(il + dx, 0, Xl + 1)
         iy = jnp.mod(i0[:, 1] + dy, nmesh)
         iz = jnp.mod(i0[:, 2] + dz, nmesh)
         flat = flat.at[(ix * nmesh + iy) * nmesh + iz].add(w)
-    buf = flat.reshape(Xl + 1, nmesh, nmesh)
-    spill = jax.lax.ppermute(buf[Xl], axis_name, _perm_fwd(n_dev))
-    return buf[:Xl].at[0].add(spill)
+    buf = flat.reshape(Xl + 2, nmesh, nmesh)
+    spill_r = jax.lax.ppermute(buf[Xl + 1], axis_name, _perm_fwd(n_dev))
+    spill_l = jax.lax.ppermute(buf[0], axis_name, _perm_bwd(n_dev))
+    out = buf[1 : Xl + 1]
+    return out.at[0].add(spill_r).at[Xl - 1].add(spill_l)
 
 
-def slab_gather3(grids_l, pos_l, *, box: float, n_dev: int, axis_name: str):
+def slab_gather3(grids_l, pos_l, *, box: float, n_dev: int, axis_name: str,
+                 shift: float = 0.0):
     """Trilinear readback of 3 force-component slabs at resident particle
-    positions; the +1 halo plane comes from the right neighbour."""
+    positions; halo planes come from both neighbours (one ``ppermute``
+    each).  ``shift`` (cells) reads from a half-cell-offset grid (the
+    second interlacing force pass)."""
     import itertools
 
     d = jax.lax.axis_index(axis_name)
     nmesh = grids_l.shape[2]
     Xl = grids_l.shape[1]
-    halo = jax.lax.ppermute(grids_l[:, 0], axis_name, _perm_bwd(n_dev))
-    ext = jnp.concatenate([grids_l, halo[:, None]], axis=1)  # (3, Xl+1, Y, Z)
+    halo_r = jax.lax.ppermute(grids_l[:, 0], axis_name, _perm_bwd(n_dev))
+    halo_l = jax.lax.ppermute(grids_l[:, Xl - 1], axis_name, _perm_fwd(n_dev))
+    # plane p of ext = global plane d*Xl + (p-1)
+    ext = jnp.concatenate(
+        [halo_l[:, None], grids_l, halo_r[:, None]], axis=1
+    )  # (3, Xl+2, Y, Z)
     flat = ext.reshape(3, -1).T
 
-    s = jnp.mod(pos_l, box) * (nmesh / box)
+    s = jnp.mod(pos_l, box) * (nmesh / box) - shift
     i0 = jnp.floor(s)
     f = s - i0
     i0 = i0.astype(jnp.int32)
-    il = jnp.clip(i0[:, 0] - d * Xl, 0, Xl - 1)
+    il = jnp.clip(i0[:, 0] - d * Xl + 1, 0, Xl)
     out = jnp.zeros((pos_l.shape[0], 3), grids_l.dtype)
     for dx, dy, dz in itertools.product((0, 1), repeat=3):
         w = (
@@ -492,6 +518,8 @@ def make_domain_p3m_local(
     split: str = "spline",
     softening: str = "plummer",
     grad_order: str = "fd4",
+    interlace: bool = False,
+    part: str = "both",
 ) -> Callable:
     """Local (inside-shard_map) body: acc(pos_l, mass_l, a) -> (g_l, overflow).
 
@@ -501,6 +529,14 @@ def make_domain_p3m_local(
     ``split="none"`` turns off the force split and the short-range pass
     entirely — a pure domain-decomposed PM solver (local-slab deposit,
     distributed FFT, local-slab gather; no full-grid psum anywhere).
+
+    ``interlace`` enables CONCEPT's two interlacing passes on the far
+    field (half-cell-shifted second deposit combined in k space, forces
+    gathered from BOTH grids — cf. `nbody.forces.pm._pm_acc_impl`).
+    ``part`` selects "both" (default), "long" (mesh far field only,
+    returns g without overflow) or "short" (pair correction only,
+    returns (g, overflow)) — the split the subcycled domain integrator
+    consumes (cf. `nbody.driver.simulate.build_cosmo_force_split`).
     """
     from nbody.core import units as u
     from nbody.forces.p3m import run_cell_plane
@@ -518,20 +554,38 @@ def make_domain_p3m_local(
         ks_tab, F_tab = _spline_filter_radial(geom.r_cut, k_max)
         ks_tab, F_tab = jnp.asarray(ks_tab), jnp.asarray(F_tab)
 
-    def local(pos_l, mass_l, a):
+    def far_field(pos_l, mass_l, a):
         dtype = pos_l.dtype
-        C = pos_l.shape[0]
         d = jax.lax.axis_index(axis_name)
 
         # ---- far field: slab deposit -> distributed FFT Poisson -------
-        grid_l = slab_deposit(
-            pos_l, mass_l, box=box, nmesh=nmesh, n_dev=D, axis_name=axis_name
-        )
-        total_mass = jax.lax.psum(jnp.sum(mass_l), axis_name)
-        delta_k = slab_rfftn(grid_l, axis_name) / (total_mass / nmesh**3)
         kx, ky, kz = kvecs_slab(nmesh, box, d, D, dtype)
+        total_mass = jax.lax.psum(jnp.sum(mass_l), axis_name)
+        mean_cell = total_mass / nmesh**3
+        h_cell = box / nmesh
+        if interlace:
+            g0 = slab_deposit(
+                pos_l, mass_l, box=box, nmesh=nmesh, n_dev=D,
+                axis_name=axis_name,
+            )
+            g1 = slab_deposit(
+                pos_l, mass_l, box=box, nmesh=nmesh, n_dev=D,
+                axis_name=axis_name, shift=0.5,
+            )
+            k0 = slab_rfftn(g0, axis_name)
+            k1 = slab_rfftn(g1, axis_name)
+            # see nbody.mesh.cic.cic_deposit_interlaced_k for the phase
+            # sign: e^{-i k.d/2} aligns the shifted grid so odd alias
+            # images cancel
+            ph = jnp.exp(-1j * ((kx + ky + kz) * (h_cell / 2.0)).astype(dtype))
+            delta_k = 0.5 * (k0 + k1 * ph) / mean_cell
+        else:
+            grid_l = slab_deposit(
+                pos_l, mass_l, box=box, nmesh=nmesh, n_dev=D,
+                axis_name=axis_name,
+            )
+            delta_k = slab_rfftn(grid_l, axis_name) / mean_cell
         if deconvolve_p:
-            h_cell = box / nmesh
 
             def sinc(k):
                 return jnp.sinc(k * (h_cell / (2.0 * np.pi)))
@@ -549,7 +603,6 @@ def make_domain_p3m_local(
                 F = F * jnp.exp(-k2 * geom.r_s**2)
         amp = (base / a).astype(dtype) if hasattr(base / a, "astype") else base / a
         phi_k = -amp * delta_k * F
-        h_cell = box / nmesh
         gx = _grad1(kx, h_cell, grad_order)
         gy = _grad1(ky, h_cell, grad_order)
         gz = _grad1(kz, h_cell, grad_order)
@@ -562,10 +615,28 @@ def make_domain_p3m_local(
         acc_long = slab_gather3(
             grids, pos_l, box=box, n_dev=D, axis_name=axis_name
         )
-        if split == "none":  # pure PM: no short-range pass
-            return acc_long, jnp.int32(0)
+        if interlace:
+            # second force pass: read the alias-cancelled potential back
+            # from the half-cell-shifted grid too and average (CONCEPT's
+            # two passes; one-grid gather measured +-200% pair scatter)
+            ph_f = jnp.exp(
+                1j * ((kx + ky + kz) * (h_cell / 2.0)).astype(dtype)
+            )
+            grids1 = jnp.stack(
+                [
+                    slab_irfftn(-1j * gj * phi_k * ph_f, nmesh, axis_name)
+                    for gj in (gx, gy, gz)
+                ]
+            )
+            acc1 = slab_gather3(
+                grids1, pos_l, box=box, n_dev=D, axis_name=axis_name,
+                shift=0.5,
+            )
+            acc_long = 0.5 * (acc_long + acc1)
+        return acc_long
 
-        # ---- short range: local plane + halo exchange -----------------
+    def short_range(pos_l, mass_l, a):
+        dtype = pos_l.dtype
         plane, overflow, K, gidx = build_local_plane(
             pos_l, mass_l, box=box, r_cut=geom.r_cut, ncell=ncell, n_dev=D,
             capacity=geom.bucket_capacity, axis_name=axis_name,
@@ -581,8 +652,22 @@ def make_domain_p3m_local(
             [out[:3].reshape(3, -1).T, jnp.zeros((1, 3), jnp.float32)],
             axis=0,
         )
-        acc_short = acc_buckets[gidx].astype(dtype) * (G / a)
+        return acc_buckets[gidx].astype(dtype) * (G / a), overflow
 
+    if part == "long":
+        return far_field
+    if part == "short":
+        if split == "none":
+            raise ValueError("part='short' is meaningless with split='none'")
+        return short_range
+    if part != "both":
+        raise ValueError(f"unknown part {part!r}")
+
+    def local(pos_l, mass_l, a):
+        acc_long = far_field(pos_l, mass_l, a)
+        if split == "none":  # pure PM: no short-range pass
+            return acc_long, jnp.int32(0)
+        acc_short, overflow = short_range(pos_l, mass_l, a)
         return acc_long + acc_short, overflow
 
     return local
@@ -648,6 +733,9 @@ def run_cosmological_domain(
     deconvolve_p: int = 2,
     split: str = "spline",
     grad_order: str = "fd4",
+    interlace: bool = False,
+    subcycles: int = 1,
+    softening: str = "plummer",
 ) -> DomainRunResult:
     """Comoving KDK over ``a_grid`` with slab-resident particles.
 
@@ -656,30 +744,111 @@ def run_cosmological_domain(
     migration, and the closing kick — every collective (halo ppermutes,
     FFT all_to_alls, psums) stays inside the single XLA program.
     ``state`` must come from :func:`domain_decompose` (same mesh/ncell).
+
+    ``subcycles`` > 1 runs the split-Hamiltonian KDK (far field at the
+    global step, short-range KDK subcycled inside — the same scheme as
+    `nbody.integrate.run_cosmological_subcycled`); each subcycle drift
+    does its own slab migration, with the carried far-field force riding
+    the exchange permutation.  ``interlace`` enables the two-pass
+    interlaced far field.
     """
     from nbody.integrate.cosmo_stepping import cosmo_kick_drift_factors
 
     D = mesh.shape[axis_name]
     if geom is None:
         geom = domain_p3m_geometry(box, nmesh, D, n_global, axis_name=axis_name)
-    local_acc = make_domain_p3m_local(
-        cosmo, geom, eps, deconvolve_p=deconvolve_p, split=split,
-        grad_order=grad_order,
-    )
     C = state.pos.shape[0] // D
     E = exchange_capacity or max(64, C // 8)
+    n_sub = int(subcycles)
+    subcycled = n_sub > 1 and split != "none"
+    fkw = dict(deconvolve_p=deconvolve_p, split=split, grad_order=grad_order,
+               interlace=interlace, softening=softening)
+    if subcycled:
+        long_acc = make_domain_p3m_local(cosmo, geom, eps, part="long", **fkw)
+        short_acc = make_domain_p3m_local(cosmo, geom, eps, part="short", **fkw)
+    else:
+        local_acc = make_domain_p3m_local(cosmo, geom, eps, **fkw)
 
     a_grid = np.asarray(a_grid, dtype=np.float64)
     K1, Dr, K2, _ = cosmo_kick_drift_factors(cosmo, a_grid)
     dtype = state.pos.dtype
-    xs = (
-        jnp.asarray(a_grid[1:], dtype),
-        jnp.asarray(K1, dtype),
-        jnp.asarray(Dr, dtype),
-        jnp.asarray(K2, dtype),
-    )
+    if subcycled:
+        n_steps = len(a_grid) - 1
+        a0s, a1s = a_grid[:-1], a_grid[1:]
+        Ks1 = np.empty((n_steps, n_sub))
+        Drs = np.empty((n_steps, n_sub))
+        Ks2 = np.empty((n_steps, n_sub))
+        A_sub = np.empty((n_steps, n_sub))
+        for i in range(n_steps):
+            sub = np.geomspace(a0s[i], a1s[i], n_sub + 1)
+            k1, dr, k2, _ = cosmo_kick_drift_factors(cosmo, sub)
+            Ks1[i], Drs[i], Ks2[i] = k1, dr, k2
+            A_sub[i] = sub[1:]
+        xs = (
+            jnp.asarray(a1s, dtype),
+            jnp.asarray(K1, dtype),
+            jnp.asarray(K2, dtype),
+            jnp.asarray(Ks1, dtype),
+            jnp.asarray(Drs, dtype),
+            jnp.asarray(Ks2, dtype),
+            jnp.asarray(A_sub, dtype),
+        )
+    else:
+        xs = (
+            jnp.asarray(a_grid[1:], dtype),
+            jnp.asarray(K1, dtype),
+            jnp.asarray(Dr, dtype),
+            jnp.asarray(K2, dtype),
+        )
 
     def local_run(pos_l, vel_l, mass_l, t0, xs):
+        if subcycled:
+            gl0 = long_acc(pos_l, mass_l, t0)
+            gs0, ov0 = short_acc(pos_l, mass_l, t0)
+
+            def body(carry, x):
+                pos, vel, mass, gl, gs, ov_ex, ov_bk = carry
+                a1, kl1, kl2, ks1, drs, ks2, a_sub = x
+                p = vel + gl * kl1  # long half-kick (far field frozen)
+
+                def sub(j, c):
+                    pos, p, mass, gl, gs, ov_e2, ov_b2 = c
+                    p1 = p + gs * ks1[j]
+                    pos1 = jnp.mod(pos + p1 * drs[j], box)
+                    pos1, p1, mass, (gl,), ov_e = slab_exchange(
+                        pos1, p1, mass,
+                        box=box, ncell=geom.ncell, n_dev=D,
+                        exchange_capacity=E, axis_name=axis_name,
+                        extras=(gl,),
+                    )
+                    gs1, ov_b = short_acc(pos1, mass, a_sub[j])
+                    p2 = p1 + gs1 * ks2[j]
+                    return (
+                        pos1, p2, mass, gl, gs1,
+                        jnp.maximum(ov_e2, ov_e), jnp.maximum(ov_b2, ov_b),
+                    )
+
+                pos, p, mass, gl, gs, ov_e, ov_b = jax.lax.fori_loop(
+                    0, n_sub, sub,
+                    (pos, p, mass, gl, gs, jnp.int32(0), jnp.int32(0)),
+                )
+                gl_new = long_acc(pos, mass, a1)
+                vel = p + gl_new * kl2
+                return (
+                    pos, vel, mass, gl_new, gs,
+                    jnp.maximum(ov_ex, ov_e), jnp.maximum(ov_bk, ov_b),
+                ), None
+
+            init = (pos_l, vel_l, mass_l, gl0, gs0, jnp.int32(0), ov0)
+            (pos_l, vel_l, mass_l, _, _, ov_ex, ov_bk), _ = jax.lax.scan(
+                body, init, xs
+            )
+            return (
+                pos_l, vel_l, mass_l,
+                jax.lax.psum(ov_ex, axis_name),
+                jax.lax.psum(ov_bk, axis_name),
+            )
+
         g0, ov0 = local_acc(pos_l, mass_l, t0)
 
         def body(carry, x):
@@ -713,7 +882,7 @@ def run_cosmological_domain(
         mesh=mesh,
         in_specs=(
             P(axis_name), P(axis_name), P(axis_name), P(),
-            (P(), P(), P(), P()),
+            tuple(P() for _ in xs),
         ),
         out_specs=(P(axis_name), P(axis_name), P(axis_name), P(), P()),
         check_vma=False,

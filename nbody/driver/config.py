@@ -90,6 +90,14 @@ class SimulationConfig:
     shortrange: str = "auto"  # P3M short-range tier: 'auto' | 'cells'
     # (ghost-padded Pallas cell kernel, production) | 'allpairs' (dense)
 
+    # -- parallelism ---------------------------------------------------------
+    devices: int = 1  # device count for the run: 1 = single-device;
+    # >1 = slab domain decomposition over a 1-D mesh of that many
+    # devices (nbody.distributed.domain); 0 = all visible devices.
+    # The role of CONCEPT's MPI launcher flag (`-n`,
+    # reference `SnapVsPK/Ucertain.py:89`) — a config field instead of a
+    # process topology, transparent to the rest of the run.
+
     # -- time stepping -------------------------------------------------------
     a_begin: float = 0.02
     a_end: float = 1.0

@@ -327,3 +327,158 @@ class TestDomainP3M:
             np.asarray(g)[valid], np.asarray(g_ref)[idx],
             rtol=1e-8, atol=1e-11,
         )
+
+
+class TestDomainSubcycled:
+    def test_subcycled_run_matches_replicated(self, mesh8):
+        """Domain split-Hamiltonian subcycling == the single-device
+        run_cosmological_subcycled on the identical discretization
+        (VERDICT round 2 item #4)."""
+        from nbody.forces.p3m import p3m_acc
+        from nbody.integrate.cosmo_stepping import (
+            log_a_steps,
+            run_cosmological_subcycled,
+        )
+
+        n, box, nmesh, n_sub = 2048, 80.0, 48, 3
+        cosmo, state = _cosmo_system(n, box, seed=21, dtype=jnp.float32)
+        a_grid = log_a_steps(0.5, 0.6, 4)
+
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        res = run_cosmological_domain(
+            st, cosmo, a_grid, mesh8,
+            box=box, nmesh=nmesh, eps=0.1, n_global=n, split="spline",
+            subcycles=n_sub,
+        )
+        assert int(res.exchange_overflow) == 0
+        assert int(res.bucket_overflow) == 0
+
+        def long_fn(pos, mass, a):
+            return p3m_acc(
+                pos, mass, box, nmesh, G=u.COSMO.G, eps=0.1,
+                shortrange="cells", split="spline", part="long",
+            ) / a
+
+        def short_fn(pos, mass, a):
+            g, ov = p3m_acc(
+                pos, mass, box, nmesh, G=u.COSMO.G, eps=0.1,
+                shortrange="cells", split="spline", part="short",
+                with_overflow=True,
+            )
+            return g / a, ov
+
+        ref, ov = run_cosmological_subcycled(
+            state, cosmo, a_grid, long_fn, short_fn, box, n_sub
+        )
+        assert int(ov) == 0
+
+        final = domain_gather(res.state)
+        assert final.n == n
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(ref.pos))
+        dist, idx = tree.query(np.asarray(final.pos))
+        assert len(set(idx.tolist())) == n
+        assert dist.max() < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(final.vel), np.asarray(ref.vel)[idx],
+            rtol=2e-3, atol=2e-3,
+        )
+
+    def test_interlaced_domain_pm_matches_replicated(self, mesh8):
+        """Interlaced two-pass domain far field == the single-device
+        interlaced PM force."""
+        from nbody.forces.pm import make_pm_cosmo_force
+
+        n, box, nmesh = 1024, 500.0, 16
+        cosmo, state = _cosmo_system(n, box, seed=3)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        acc_fn, _ = make_domain_p3m_force(
+            cosmo, box, nmesh, mesh8, eps=0.0, n_global=n, split="none",
+            r_cut=box / 8, interlace=True,
+        )
+        g, ov = jax.jit(acc_fn)(st.pos, st.mass, jnp.asarray(0.5))
+        ref_fn = make_pm_cosmo_force(cosmo, box, nmesh, interlace=True)
+        g_ref = ref_fn(state.pos, state.mass, jnp.asarray(0.5))
+
+        from scipy.spatial import cKDTree
+
+        valid = np.asarray(st.mass) > 0
+        tree = cKDTree(np.asarray(state.pos))
+        dist, idx = tree.query(np.asarray(st.pos)[valid])
+        assert dist.max() == 0.0
+        np.testing.assert_allclose(
+            np.asarray(g)[valid], np.asarray(g_ref)[idx],
+            rtol=1e-7, atol=1e-10,
+        )
+
+    def test_slab_deposit_shift_matches_cic(self, mesh8):
+        """Half-cell-shifted slab deposit == cic_deposit(shift=0.5)."""
+        box, nmesh = 80.0, 16
+        _, state = _cosmo_system(1024, box)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        f = shard_map(
+            lambda p, m: slab_deposit(
+                p, m, box=box, nmesh=nmesh, n_dev=8, axis_name="shard",
+                shift=0.5,
+            ),
+            mesh=mesh8, in_specs=(P("shard"), P("shard")),
+            out_specs=P("shard"), check_vma=False,
+        )
+        grid = jax.jit(f)(st.pos, st.mass)
+        ref = cic_deposit(state.pos, box, nmesh, weights=state.mass,
+                          shift=0.5)
+        np.testing.assert_allclose(
+            np.asarray(grid), np.asarray(ref), rtol=1e-10, atol=1e-9
+        )
+
+
+class TestDomainMeasure:
+    def test_matches_single_device_powerspec(self, mesh8):
+        """Sharded P(k) == single-device power_spectrum for CIC and
+        interlaced deposits (VERDICT round 2 item #5): no host gather,
+        no O(nmesh^3) replicated array."""
+        from nbody.distributed.measure import measure_powerspec_domain
+        from nbody.mesh.cic import bspline_deposit, bspline_deposit_interlaced_k
+        from nbody.mesh.spectrum import power_spectrum
+
+        n, box, nmesh = 4096, 100.0, 32
+        _, state = _cosmo_system(n, box, seed=17)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        k_f = 2 * np.pi / box
+        edges = np.geomspace(k_f * 0.999, k_f * nmesh, 20)
+
+        for interlace in (False, True):
+            raw, corr = measure_powerspec_domain(
+                st, mesh8, box=box, nmesh=nmesh, n_global=n, edges=edges,
+                interlace=interlace,
+            )
+            if interlace:
+                dk = bspline_deposit_interlaced_k(state.pos, box, nmesh)
+                dk = dk / (n / nmesh**3)
+                dk = dk.at[0, 0, 0].set(0.0)
+                ref_r = power_spectrum(dk, box, is_fourier=True, edges=edges)
+                ref_c = power_spectrum(
+                    dk, box, is_fourier=True, edges=edges, deconvolve_p=1,
+                )
+            else:
+                from nbody.mesh.cic import cic_deposit as _cd
+
+                grid = bspline_deposit(state.pos, box, nmesh)
+                delta = grid / (n / nmesh**3) - 1.0
+                ref_r = power_spectrum(delta, box, edges=edges)
+                ref_c = power_spectrum(delta, box, edges=edges, deconvolve_p=1)
+            np.testing.assert_allclose(
+                np.asarray(raw.n_modes), np.asarray(ref_r.n_modes), atol=0.5
+            )
+            np.testing.assert_allclose(
+                np.asarray(raw.power), np.asarray(ref_r.power),
+                rtol=1e-6, atol=1e-12,
+            )
+            np.testing.assert_allclose(
+                np.asarray(corr.power), np.asarray(ref_c.power),
+                rtol=1e-6, atol=1e-12,
+            )
+            np.testing.assert_allclose(
+                np.asarray(raw.k), np.asarray(ref_r.k), rtol=1e-6
+            )

@@ -301,3 +301,72 @@ class TestBatchedEnsemble:
         run_ensemble(cfg, 3, str(tmp_path), A_s_values=A_s, batch=2)
         again = run_ensemble(cfg, 3, str(tmp_path), A_s_values=A_s, batch=2)
         assert sorted(again.skipped) == [0, 1, 2]
+
+
+class TestDomainDriver:
+    """Multi-chip reachable from the driver (VERDICT round 2 item #3):
+    config.devices > 1 routes run_simulation through the slab domain
+    decomposition transparently — same outputs, logs, autosave."""
+
+    DOMAIN = SimulationConfig(
+        n_side=8,
+        box=500.0,
+        solver="p3m",
+        pm_grid=64,
+        n_steps=6,
+        subcycles=2,
+        devices=8,
+        output=OutputConfig(
+            snapshot_times=(0.3, 1.0), powerspec_bins=12,
+        ),
+    )
+
+    def test_domain_run_end_to_end(self, tmp_path):
+        import jax
+
+        from nbody.driver.simulate import measure_powerspec
+
+        cfg = self.DOMAIN.replace(
+            output=self.DOMAIN.output.replace(dir=str(tmp_path))
+        )
+        res = run_simulation(cfg, seed=3, workdir=str(tmp_path),
+                             checkpoint_every_steps=3)
+        # two output times -> two snapshots + two powerspecs,
+        # CONCEPT-format readable
+        assert len(res.snapshots) == 2 and len(res.powerspecs) == 2
+        for spath in res.snapshots:
+            snap, meta = read_snapshot(spath)
+            assert snap.n == cfg.n_particles
+            assert abs(meta.boxsize - cfg.box) < 1e-9
+        tab = read_powerspec(res.powerspecs[-1])
+        modes, P, Pc = tab.modes, tab.P, tab.P_corrected
+        assert (modes > 0).any() and (P[modes > 0] > 0).all()
+        # run.log reports the domain decomposition + segment timings
+        log = (tmp_path / "run.log").read_text()
+        assert "Domain decomposition: 8x1x1" in log
+        assert "sharded" in log
+        # autosave checkpoint was written
+        assert (tmp_path / "autosave" / "checkpoint.npz").exists()
+        # final state has all particles inside the box
+        assert res.state.n == cfg.n_particles
+        assert float(jax.numpy.max(res.state.pos)) <= cfg.box
+
+        # the sharded P(k) written at a=1 matches the single-device
+        # estimator applied to the gathered final state
+        k2, m2, P2, Pc2, _ = measure_powerspec(
+            res.state.pos.astype(jax.numpy.float32), cfg, 1.0, seed=3
+        )
+        np.testing.assert_allclose(modes, m2, atol=0.5)
+        np.testing.assert_allclose(P[modes > 0], P2[m2 > 0], rtol=1e-4)
+        np.testing.assert_allclose(Pc[modes > 0], Pc2[m2 > 0], rtol=1e-4)
+
+    def test_domain_rejects_adaptive_and_pp(self):
+        with pytest.raises(ValueError):
+            run_simulation(
+                self.DOMAIN.replace(time_stepping="adaptive"), seed=0,
+                workdir="",
+            )
+        with pytest.raises(ValueError):
+            run_simulation(
+                self.DOMAIN.replace(solver="pp"), seed=0, workdir="",
+            )
