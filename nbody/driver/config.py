@@ -53,6 +53,12 @@ class OutputConfig:
     realization_correction: bool = False  # divide the realization's own
     # linear-spectrum scatter out of the corrected column (CONCEPT's
     # 'realization correction': True)
+    energy_log: bool = True  # sample the Layzer-Irvine energy budget
+    # (peculiar T, W and the conserved-functional residual) after every
+    # integration segment and print it into run.log at output times —
+    # a live view of the ~6% force/energy-functional floor documented in
+    # RESULTS.md (the reference has no energy diagnostics at all,
+    # SURVEY.md §5.5)
 
     def replace(self, **kw) -> "OutputConfig":
         return dataclasses.replace(self, **kw)

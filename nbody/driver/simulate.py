@@ -454,12 +454,17 @@ def run_simulation(
             state, extra = load_checkpoint(ckpt)
             start_idx = int(extra["grid_index"])
             a_start = float(extra["a"])
+    ic_wall = 0.0
     if state is None:
-        state = (
-            initial_state
-            if initial_state is not None
-            else realize_ics(config, seed, base=base)
-        )
+        if initial_state is not None:
+            state = initial_state
+        else:
+            t_ic = time.perf_counter()
+            state = realize_ics(config, seed, base=base)
+            # host readback (block_until_ready is not an execution
+            # barrier over the TPU relay)
+            np.asarray(state.pos.ravel()[:2])
+            ic_wall = time.perf_counter() - t_ic
 
     # segment boundaries: output times + checkpoint cadence + a hard
     # 32-step dispatch cap (long single dispatches can crash the TPU
@@ -538,8 +543,13 @@ def run_simulation(
         occ = int(np.bincount(cid, minlength=ncell**3).max())
         # snap to the next 128-lane quantum: the Pallas bucket width is
         # K = ceil(capacity/128)*128, so any headroom within the quantum
-        # is free and crossing it early would cost ~4x kernel work
-        needed = -(-(occ + 4) // 128) * 128
+        # is free and crossing it early would cost ~4x kernel work.
+        # The 10% margin anticipates clustering growth WITHIN the coming
+        # segment — an in-scan overflow costs a re-jit (30-300 s over the
+        # remote compile service) plus a full segment re-run, far more
+        # than one segment at the next quantum (measured round 3:
+        # a late-time 128->256 overflow cost ~75 s of a 925 s run)
+        needed = -(-int(occ * 1.10 + 4) // 128) * 128
         if needed > current_capacity():
             log(
                 f"pre-warming P3M cell capacity to {needed} "
@@ -671,10 +681,41 @@ def run_simulation(
         )
         + f" (seed={seed}, start_idx={start_idx})"
     )
+    if ic_wall:
+        log(f"Initial conditions realized ({ic_wall:.2f} s)")
+    energy_samples: list[tuple[float, float, float]] = []
+
+    def sample_energy(st) -> None:
+        """Per-segment (a, T, W) sample of the Layzer-Irvine budget.
+
+        One PM-potential evaluation per segment (cheap next to the
+        segment itself); samples land as host float64, so the residual's
+        ln-a integral accumulates in double even on the f32 backend."""
+        if not config.output.energy_log:
+            return
+        from nbody.diagnostics.layzer_irvine import peculiar_energies
+
+        T, W = peculiar_energies(st, cosmo, config.box, config.mesh_size)
+        energy_samples.append((float(st.time), float(T), float(W)))
+
+    def log_energy() -> None:
+        if len(energy_samples) < 2:
+            return
+        from nbody.diagnostics.layzer_irvine import layzer_irvine_residual
+
+        a_s, T_s, W_s = (np.array(c) for c in zip(*energy_samples))
+        res = layzer_irvine_residual(a_s, T_s, W_s)
+        log(
+            f"Energy budget: T = {T_s[-1]:.6e}  W = {W_s[-1]:.6e}  "
+            f"Layzer-Irvine residual = {100.0 * res:.2f}%"
+        )
+
+    sample_energy(state)
     meta_of = lambda a: SnapshotMeta.from_cosmology(cosmo, config.box, a=a)
     with AsyncSnapshotWriter() as writer:
 
         def write_outputs(a: float):
+            log_energy()
             tag = f"a={a:.2f}"
             if config.output.snapshot:
                 spath = os.path.join(
@@ -694,6 +735,7 @@ def run_simulation(
             for a_hi in bounds:
                 t_seg = time.perf_counter()
                 state = with_capacity_retry(seg_adaptive(a_hi), state)
+                sample_energy(state)
                 log(
                     f"Reached a = {a_hi:.4f} "
                     f"({time.perf_counter() - t_seg:.2f} s)"
@@ -707,12 +749,14 @@ def run_simulation(
                         {"grid_index": -1, "seed": seed, "a": float(a_hi)},
                     )
             log(f"Total adaptive steps: {n_steps_total}")
+            log_energy()
         else:
             prev = start_idx
             last_ckpt = start_idx
             for idx in bounds:
                 t_seg = time.perf_counter()
                 state = with_capacity_retry(seg_fixed(prev, idx), state)
+                sample_energy(state)
                 log(
                     f"Time step {idx:4d}   a = {a_grid[idx]:.4f}   "
                     f"({idx - prev} steps in "
@@ -737,6 +781,7 @@ def run_simulation(
                     )
                     last_ckpt = idx
                 prev = idx
+            log_energy()
 
     return SimulationResult(
         state=state,

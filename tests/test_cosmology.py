@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nbody.core.cosmology import Cosmology, TabulatedPowerSpectrum
 
@@ -76,3 +77,72 @@ def test_tabulated_roundtrip(tmp_path):
 def test_growth_D2_sign():
     d2 = float(COSMO.growth_D2(1.0))
     assert -0.6 < d2 < -0.3  # ~ -3/7
+
+
+class TestClassyAdapter:
+    """Contract test for classy_power_spectrum (cosmology.py) against a
+    mocked classy module — classy itself is not in this image, but the
+    adapter's code path (params dict shape, pk sampling, tabulated
+    ingestion) is the reference's entire L0
+    (`CiC/3D startbetingelser1.py:16-59`)."""
+
+    def _install_fake_classy(self, monkeypatch, pk_fn, seen):
+        import sys
+        import types
+
+        class FakeClass:
+            def set(self, params):
+                seen["params"] = dict(params)
+
+            def compute(self):
+                seen["computed"] = True
+
+            def pk(self, k, z):
+                seen.setdefault("z", z)
+                return float(pk_fn(k))
+
+            def struct_cleanup(self):
+                seen["cleaned"] = True
+
+        mod = types.ModuleType("classy")
+        mod.Class = FakeClass
+        monkeypatch.setitem(sys.modules, "classy", mod)
+
+    def test_adapter_matches_mocked_class(self, monkeypatch):
+        from nbody.core.cosmology import Cosmology, classy_power_spectrum
+
+        cosmo = Cosmology(h=0.7, omega_b=0.023, omega_cdm=0.118,
+                          A_s=2.0e-9, n_s=0.96)
+        truth = lambda k: float(
+            cosmo.linear_power(jnp.asarray(float(k)), a=1.0)
+        )
+        seen = {}
+        self._install_fake_classy(monkeypatch, truth, seen)
+        tab = classy_power_spectrum(cosmo, z=0.0, kmax=10.0)
+
+        # params dict carries the reference's shape (H0 = 100 h, mPk
+        # output, P_k_max cutoff)
+        p = seen["params"]
+        assert p["output"] == "mPk"
+        assert abs(p["H0"] - 70.0) < 1e-12
+        assert p["omega_b"] == cosmo.omega_b
+        assert p["omega_cdm"] == cosmo.omega_cdm
+        assert p["A_s"] == cosmo.A_s and p["n_s"] == cosmo.n_s
+        assert p["P_k_max_1/Mpc"] == 10.0
+        assert seen["computed"] and seen["cleaned"] and seen["z"] == 0.0
+
+        # the tabulated spectrum reproduces the mocked P(k) within
+        # log-log interpolation error on interior k
+        ks = np.geomspace(2e-3, 5.0, 64)
+        got = np.asarray(tab(jnp.asarray(ks)))
+        want = np.array([truth(k) for k in ks])
+        np.testing.assert_allclose(got, want, rtol=2e-3)
+
+    def test_adapter_import_error_without_classy(self, monkeypatch):
+        import sys
+
+        from nbody.core.cosmology import Cosmology, classy_power_spectrum
+
+        monkeypatch.setitem(sys.modules, "classy", None)
+        with pytest.raises(ImportError, match="classy is not installed"):
+            classy_power_spectrum(Cosmology(), z=0.0)

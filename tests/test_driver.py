@@ -370,3 +370,37 @@ class TestDomainDriver:
             run_simulation(
                 self.DOMAIN.replace(solver="pp"), seed=0, workdir="",
             )
+
+
+def test_energy_budget_logged(tmp_path):
+    """run.log carries the live Layzer-Irvine energy budget (T, W,
+    residual) — VERDICT round 2 item #6.  The tiny-config residual only
+    needs to be finite and sane; the production ~6% floor is pinned by
+    the parity study artifacts."""
+    import re
+
+    cfg = TINY.replace(
+        output=TINY.output.replace(dir=str(tmp_path), snapshot=False,
+                                   powerspec=False)
+    )
+    run_simulation(cfg, seed=1, workdir=str(tmp_path))
+    log = (tmp_path / "run.log").read_text()
+    m = re.findall(
+        r"Energy budget: T = ([0-9.e+-]+)  W = (-?[0-9.e+-]+)  "
+        r"Layzer-Irvine residual = ([0-9.]+)%",
+        log,
+    )
+    assert m, f"no energy-budget lines in run.log:\n{log}"
+    T, W, res = map(float, m[-1])
+    assert T > 0 and W < 0 and 0.0 <= res < 100.0
+
+
+def test_energy_budget_disabled(tmp_path):
+    cfg = TINY.replace(
+        output=TINY.output.replace(
+            dir=str(tmp_path), snapshot=False, powerspec=False,
+            energy_log=False,
+        )
+    )
+    run_simulation(cfg, seed=1, workdir=str(tmp_path))
+    assert "Energy budget" not in (tmp_path / "run.log").read_text()
