@@ -31,7 +31,13 @@ def _add_sim_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--subcycles", type=int,
         help="P3M short-range KDK subcycles per global step "
-        "(CONCEPT-rung analogue)",
+        "(uniform cadence)",
+    )
+    p.add_argument(
+        "--rungs", type=int,
+        help="per-particle rung stepping: R >= 2 rungs, short-range "
+        "kicks for rung r every 2^(R-1-r)-th sub-tick, interior ticks "
+        "evaluated for active rungs only (CONCEPT's scheme)",
     )
     p.add_argument("--softening-kernel", choices=("spline", "plummer"))
     p.add_argument(
@@ -67,8 +73,8 @@ def _config_from_args(args) -> "SimulationConfig":
     for flag in (
         "box", "n_side", "pm_grid", "solver", "a_begin", "a_end",
         "n_steps", "lpt_order", "A_s", "n_s", "omega_cdm", "h",
-        "time_stepping", "subcycles", "softening_kernel", "force_split",
-        "interlace", "devices",
+        "time_stepping", "subcycles", "rungs", "softening_kernel",
+        "force_split", "interlace", "devices",
     ):
         v = getattr(args, flag, None)
         if v is not None:

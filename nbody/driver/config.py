@@ -93,8 +93,14 @@ class SimulationConfig:
     cell_capacity: int = 0  # P3M cell-list bucket capacity; 0 = auto
     # (in-scan overflow tracking auto-doubles this and re-runs the
     # segment if a clustered state fills a bucket)
-    shortrange: str = "auto"  # P3M short-range tier: 'auto' | 'cells'
-    # (ghost-padded Pallas cell kernel, production) | 'allpairs' (dense)
+    column_capacity: int = 0  # column-tier bucket capacity (particles
+    # per (x, y) chaining column); 0 = auto + self-heal, like
+    # cell_capacity but for shortrange='columns'
+    shortrange: str = "auto"  # P3M short-range tier: 'auto' (columns
+    # beyond 64k particles) | 'columns' (z-sorted column kernel,
+    # production — at parity with cells on uniform states, ~5x faster
+    # clustered) | 'cells' (ghost-padded per-cell Pallas kernel) |
+    # 'allpairs' (dense)
 
     # -- parallelism ---------------------------------------------------------
     devices: int = 1  # device count for the run: 1 = single-device;
@@ -113,6 +119,16 @@ class SimulationConfig:
     # while halo particles get 'subcycles'x finer short-range kicks;
     # costs (subcycles-1) extra short-range evals per step, no extra
     # mesh work)
+    rungs: int = 0  # per-particle rung stepping (CONCEPT's scheme): 0 =
+    # off; R >= 2 assigns each particle a rung from its displacement
+    # demand each global step and short-range-kicks rung r every
+    # 2^(R-1-r)-th of 2^(R-1) sub-ticks — interior ticks evaluate
+    # forces ONLY for the active rungs (two-plane cell kernel), so the
+    # ~95% rung-0 population stops paying for the halo particles'
+    # fine kicks.  Overrides `subcycles` (the uniform-cadence tier).
+    # run.log gains per-step "Rung population" lines.
+    rung_capacity: int = 0  # bucket capacity of the active-target plane;
+    # 0 = auto (64, self-healed upward on overflow like cell_capacity)
     time_stepping: str = "fixed"  # 'fixed' (log-a grid of n_steps) |
     # 'adaptive' (the run chooses its own steps like CONCEPT's adaptive
     # integration — n_steps then caps the total; run.log gains
@@ -121,6 +137,9 @@ class SimulationConfig:
     # (~0.0276 reproduces CONCEPT's ~142 steps over a=0.02->1)
     step_eta_disp: float = 0.25  # adaptive: max per-step drift in units
     # of the PM cell size (displacement criterion)
+    step_eta_acc: float = 0.025  # rungs: acceleration criterion
+    # dt <= sqrt(2 eta_acc eps / |acc|) (the Gadget/CONCEPT rung rule;
+    # halo particles subdivide by |g| long before |v| grows)
 
     # -- initial conditions ---------------------------------------------------
     lpt_order: int = 1  # 1 (Zel'dovich) or 2 (2LPT)

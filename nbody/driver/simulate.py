@@ -46,6 +46,34 @@ def _linear_power_fn(cosmo: Cosmology, transfer: str) -> Callable:
     return lambda k: tab(k)
 
 
+
+def _resolved_shortrange(config: SimulationConfig) -> str:
+    """The short-range tier p3m_acc will actually use for this config
+    (mirrors its 'auto' rule) — the driver's capacity bookkeeping keys
+    on this."""
+    tier = config.shortrange
+    if tier == "auto":
+        tier = "columns" if config.n_particles > 65536 else "allpairs"
+    if tier in ("cells", "columns"):
+        from nbody.forces.p3m import p3m_short_params
+
+        r_cut = p3m_short_params(
+            config.box, config.mesh_size, config.n_particles
+        )[1]
+        if config.box / r_cut < 3.0:
+            tier = "allpairs"
+    return tier
+
+
+def _tier_capacity(config: SimulationConfig):
+    """(field_name, value-or-None) of the capacity knob for the config's
+    resolved short-range tier."""
+    tier = _resolved_shortrange(config)
+    if tier == "columns":
+        return "column_capacity", (config.column_capacity or None)
+    return "cell_capacity", (config.cell_capacity or None)
+
+
 def build_cosmo_force(config: SimulationConfig, checked: bool = False) -> Callable:
     """acc_fn(pos, mass, a) -> canonical-momentum force for the config's
     solver.  All three comoving solvers reduce to the Newtonian periodic
@@ -86,13 +114,15 @@ def build_cosmo_force(config: SimulationConfig, checked: bool = False) -> Callab
 
         return pp_fn
 
+    _, tier_cap = _tier_capacity(config)
+
     def p3m_fn(pos, mass, a):
         out = p3m_acc(
             pos, mass, box, nmesh, G=G, eps=eps,
             deconvolve_p=config.deconvolve_p, interlace=config.interlace,
             split=config.force_split, shortrange=config.shortrange,
             softening=config.softening_kernel,
-            capacity=config.cell_capacity or None,
+            capacity=tier_cap,
             with_overflow=checked,
         )
         if checked:
@@ -112,6 +142,7 @@ def build_cosmo_force_split(config: SimulationConfig):
         raise ValueError("subcycling applies to the p3m solver only")
     box, eps, G = config.box, config.eps, units.COSMO.G
     nmesh = config.mesh_size
+    _, tier_cap = _tier_capacity(config)
 
     def long_fn(pos, mass, a):
         acc = p3m_acc(
@@ -119,7 +150,7 @@ def build_cosmo_force_split(config: SimulationConfig):
             deconvolve_p=config.deconvolve_p, interlace=config.interlace,
             split=config.force_split, shortrange=config.shortrange,
             softening=config.softening_kernel,
-            capacity=config.cell_capacity or None,
+            capacity=tier_cap,
             part="long",
         )
         return acc / jnp.asarray(a, pos.dtype)
@@ -130,12 +161,50 @@ def build_cosmo_force_split(config: SimulationConfig):
             deconvolve_p=config.deconvolve_p, interlace=config.interlace,
             split=config.force_split, shortrange=config.shortrange,
             softening=config.softening_kernel,
-            capacity=config.cell_capacity or None,
+            capacity=tier_cap,
             with_overflow=True, part="short",
         )
         return acc / jnp.asarray(a, pos.dtype), ov
 
     return long_fn, short_fn
+
+
+def build_cosmo_force_rungs(config: SimulationConfig):
+    """(long_fn, short_fn, masked_fn) triple for the per-particle rung
+    integrator (:func:`nbody.integrate.cosmo_stepping.
+    run_cosmological_rungs`).  ``masked_fn(pos, mass, active, a) ->
+    (g, ov_source, ov_target)`` evaluates the short force only for the
+    ``active`` targets via the two-plane cell kernel."""
+    from nbody.forces.p3m import (
+        p3m_short_cells_pallas_masked,
+        p3m_short_params,
+    )
+
+    if config.solver != "p3m":
+        raise ValueError("rung stepping applies to the p3m solver only")
+    # the rung tier rides the CELLS kernel throughout (its masked
+    # two-plane form shares the cell geometry); the columns tier is the
+    # non-rung production default
+    long_fn, short_fn = build_cosmo_force_split(
+        config.replace(shortrange="cells")
+    )
+    box, eps, G = config.box, config.eps, units.COSMO.G
+    r_s, r_cut, ncell, auto_cap = p3m_short_params(
+        box, config.mesh_size, config.n_particles
+    )
+    capacity = config.cell_capacity or auto_cap
+    target_capacity = config.rung_capacity or 64
+
+    def masked_fn(pos, mass, act, a):
+        g, ov_s, ov_t = p3m_short_cells_pallas_masked(
+            pos, mass, act, box, eps, r_s, r_cut, G=G,
+            ncell=ncell, capacity=capacity,
+            target_capacity=target_capacity,
+            split=config.force_split, softening=config.softening_kernel,
+        )
+        return g / jnp.asarray(a, pos.dtype), ov_s, ov_t
+
+    return long_fn, short_fn, masked_fn
 
 
 def realize_ics(
@@ -412,12 +481,25 @@ def run_simulation(
     cosmo = config.cosmology()
     cfg_run = config
     acc_fn = build_cosmo_force(cfg_run, checked=True)
+    adaptive = config.time_stepping == "adaptive"
+    rungs = int(config.rungs)
+    if rungs >= 2:
+        if config.solver != "p3m":
+            raise ValueError("rungs requires the p3m solver")
+        if adaptive:
+            raise ValueError(
+                "rungs composes with fixed stepping (the adaptive chooser "
+                "already subdivides via subcycles)"
+            )
+    else:
+        rungs = 0
+    rung_fns = build_cosmo_force_rungs(cfg_run) if rungs else None
     split_fns = (
         build_cosmo_force_split(cfg_run)
-        if config.solver == "p3m" and config.subcycles > 1
+        if config.solver == "p3m" and config.subcycles > 1 and not rungs
         else None
     )
-    adaptive = config.time_stepping == "adaptive"
+    n_sub_eff = 2 ** (rungs - 1) if rungs else max(1, config.subcycles)
 
     a_grid = log_a_steps(config.a_begin, config.a_end, config.n_steps)
     if adaptive:
@@ -480,7 +562,7 @@ def run_simulation(
                     checkpoint_every_steps,
                 )
             )
-        seg_cap = max(4, 32 // max(1, config.subcycles))
+        seg_cap = max(4, 32 // n_sub_eff)
         bounds |= set(range(start_idx + seg_cap, len(a_grid) - 1, seg_cap))
         bounds = sorted(i for i in bounds if i > start_idx)
 
@@ -497,9 +579,21 @@ def run_simulation(
         else:
             print(f"[run] {msg}", flush=True)
 
+    # the rung tier rides the cells kernel regardless of the resolved
+    # default tier (see build_cosmo_force_rungs)
+    tier = "cells" if rungs else _resolved_shortrange(config)
+    cap_field = "column_capacity" if tier == "columns" else "cell_capacity"
+
     def current_capacity() -> int:
-        if cfg_run.cell_capacity:
-            return cfg_run.cell_capacity
+        cur = getattr(cfg_run, cap_field)
+        if cur:
+            return cur
+        if tier == "columns":
+            from nbody.forces.p3m_columns import column_params
+
+            return column_params(
+                config.box, config.mesh_size, config.n_particles
+            )[3]
         from nbody.forces.p3m import p3m_short_params
 
         return p3m_short_params(
@@ -518,6 +612,14 @@ def run_simulation(
             except jax.errors.JaxRuntimeError:
                 time.sleep(20.0)
         return False
+
+    def rebuild_forces() -> None:
+        nonlocal acc_fn, split_fns, rung_fns
+        acc_fn = build_cosmo_force(cfg_run, checked=True)
+        if split_fns is not None:
+            split_fns = build_cosmo_force_split(cfg_run)
+        if rung_fns is not None:
+            rung_fns = build_cosmo_force_rungs(cfg_run)
 
     def prewarm_capacity(st) -> None:
         """Before a segment, bump the cell capacity to fit the CURRENT
@@ -539,8 +641,13 @@ def run_simulation(
         c = np.clip(
             (pos * (ncell / config.box)).astype(np.int64), 0, ncell - 1
         )
-        cid = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
-        occ = int(np.bincount(cid, minlength=ncell**3).max())
+        if tier == "columns":
+            # per-COLUMN occupancy (the column tier's bucket unit)
+            cid = c[:, 0] * ncell + c[:, 1]
+            occ = int(np.bincount(cid, minlength=ncell**2).max())
+        else:
+            cid = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
+            occ = int(np.bincount(cid, minlength=ncell**3).max())
         # snap to the next 128-lane quantum: the Pallas bucket width is
         # K = ceil(capacity/128)*128, so any headroom within the quantum
         # is free and crossing it early would cost ~4x kernel work.
@@ -552,13 +659,11 @@ def run_simulation(
         needed = -(-int(occ * 1.10 + 4) // 128) * 128
         if needed > current_capacity():
             log(
-                f"pre-warming P3M cell capacity to {needed} "
-                f"(densest bucket {occ})"
+                f"pre-warming P3M {cap_field.replace('_', ' ')} to "
+                f"{needed} (densest bucket {occ})"
             )
-            cfg_run = cfg_run.replace(cell_capacity=needed)
-            acc_fn = build_cosmo_force(cfg_run, checked=True)
-            if split_fns is not None:
-                split_fns = build_cosmo_force_split(cfg_run)
+            cfg_run = cfg_run.replace(**{cap_field: needed})
+            rebuild_forces()
 
     def with_capacity_retry(run_fn, st):
         """Run one segment; on in-scan bucket overflow, double the cell
@@ -573,7 +678,7 @@ def run_simulation(
         attempts = 5
         while attempts > 0:
             try:
-                new_state, ov = run_fn(st, acc_fn, split_fns)
+                res = run_fn(st, acc_fn, split_fns)
             except jax.errors.JaxRuntimeError as e:
                 if "UNAVAILABLE" not in str(e) or device_retries == 0:
                     raise
@@ -583,18 +688,29 @@ def run_simulation(
                     raise
                 log("backend recovered — re-running segment")
                 continue
-            if ov == 0:
+            new_state, ov = res[0], res[1]
+            # third channel (rung tier): active-target-plane overflow
+            ovt = res[2] if len(res) > 2 else 0
+            if ov == 0 and ovt == 0:
                 return new_state
             attempts -= 1
-            new_cap = 2 * current_capacity()
-            log(
-                f"P3M cell overflow inside scan ({ov} particles) — "
-                f"doubling cell capacity to {new_cap}, re-running segment"
-            )
-            cfg_run = cfg_run.replace(cell_capacity=new_cap)
-            acc_fn = build_cosmo_force(cfg_run, checked=True)
-            if split_fns is not None:
-                split_fns = build_cosmo_force_split(cfg_run)
+            if ovt:
+                new_rcap = 2 * (cfg_run.rung_capacity or 64)
+                log(
+                    f"rung target-plane overflow ({ovt} particles) — "
+                    f"doubling rung capacity to {new_rcap}, re-running "
+                    f"segment"
+                )
+                cfg_run = cfg_run.replace(rung_capacity=new_rcap)
+            if ov:
+                new_cap = 2 * current_capacity()
+                log(
+                    f"P3M bucket overflow inside scan ({ov} particles) — "
+                    f"doubling {cap_field.replace('_', ' ')} to "
+                    f"{new_cap}, re-running segment"
+                )
+                cfg_run = cfg_run.replace(**{cap_field: new_cap})
+            rebuild_forces()
         raise RuntimeError(
             "P3M cell capacity retries exhausted — state too clustered"
         )
@@ -639,6 +755,40 @@ def run_simulation(
             return new, int(ov)
 
         return run_fn
+
+    seg_hists: list = []  # per-step rung populations of the last segment
+
+    def seg_rungs(prev, idx):
+        """Per-particle rung segment (CONCEPT's scheme on the fixed
+        grid): populations are stashed and logged only after the
+        successful attempt, so capacity retries do not double-log."""
+        from nbody.integrate.cosmo_stepping import run_cosmological_rungs
+
+        def run_fn(st, fn, sfns):
+            new, ov, ovt, hists = run_cosmological_rungs(
+                st, cosmo, a_grid[prev : idx + 1],
+                rung_fns[0], rung_fns[1], rung_fns[2],
+                config.box, rungs, config.box / config.mesh_size,
+                eta_disp=config.step_eta_disp,
+                eta_acc=config.step_eta_acc, eps=config.eps,
+            )
+            jax.block_until_ready(new.pos)
+            seg_hists.clear()
+            seg_hists.extend(np.asarray(hists))
+            return new, int(ov), int(ovt)
+
+        return run_fn
+
+    def log_rung_populations(prev):
+        for k, h in enumerate(seg_hists):
+            hl = h[: max(1, int(np.max(np.nonzero(h)[0]) + 1))]
+            log(
+                f"Time step {prev + 1 + k:4d}   "
+                f"a = {a_grid[prev + 1 + k]:.4f}   "
+                f"Rung population: matter: "
+                + ", ".join(str(int(p)) for p in hl)
+            )
+        seg_hists.clear()
 
     def seg_adaptive(a_hi):
         n_entry = n_steps_total  # so a capacity-retry re-run of this
@@ -755,7 +905,10 @@ def run_simulation(
             last_ckpt = start_idx
             for idx in bounds:
                 t_seg = time.perf_counter()
-                state = with_capacity_retry(seg_fixed(prev, idx), state)
+                seg = seg_rungs(prev, idx) if rungs else seg_fixed(prev, idx)
+                state = with_capacity_retry(seg, state)
+                if rungs:
+                    log_rung_populations(prev)
                 sample_energy(state)
                 log(
                     f"Time step {idx:4d}   a = {a_grid[idx]:.4f}   "

@@ -304,12 +304,33 @@ def p3m_acc(
             return acc_long
     n = pos.shape[0]
     if shortrange == "auto":
-        shortrange = "cells" if n > 65536 else "allpairs"
-    if shortrange == "cells" and box / float(r_cut) < 3.0:
+        # columns: the column-packed kernel is at parity with cells on
+        # uniform states and ~5x faster on clustered ones (RESULTS.md
+        # round 3)
+        shortrange = "columns" if n > 65536 else "allpairs"
+    if (
+        shortrange in ("cells", "columns")
+        and box / float(r_cut) < 3.0
+    ):
         # box too small for a 3^3 chaining grid — dense tier is exact and
         # at such box/r_cut ratios barely more work anyway
         shortrange = "allpairs"
-    if shortrange == "cells":
+    if shortrange == "columns":
+        from nbody.forces.p3m_columns import (
+            column_params,
+            column_window,
+            p3m_short_columns_pallas,
+        )
+
+        _, _, ncell_c, auto_ck, _ = column_params(box, nmesh, n)
+        ck = capacity if capacity is not None else auto_ck
+        acc_short, overflow = p3m_short_columns_pallas(
+            pos, mass, box, float(eps), float(r_s), float(r_cut), G=G,
+            ncell=ncell_c, col_capacity=ck,
+            window=column_window(box, float(r_cut), ck),
+            split=split, softening=softening,
+        )
+    elif shortrange == "cells":
         from nbody.mesh.cells import cell_capacity
 
         ncell = int(box / float(r_cut))
@@ -467,7 +488,7 @@ def p3m_short_params(box: float, nmesh: int, n: int):
 
 
 def build_padded_plane(pos, mass, box: float, r_cut: float, ncell: int,
-                       capacity: int):
+                       capacity: int, valid=None):
     """Bucket particles and assemble the ghost-padded SoA cell plane.
 
     Returns (plane (8, (ncell+2)^3 * K), overflow, K, gidx).  Plane rows
@@ -480,13 +501,19 @@ def build_padded_plane(pos, mass, box: float, r_cut: float, ncell: int,
     TPU.  The plane itself is likewise built by a scatter-SET of n rows
     into the interior followed by wrap-padding (contiguous slab copies),
     never by gathering every slot.
+
+    ``valid`` (n,) bool excludes particles from the plane entirely (they
+    get the sentinel gidx and do not occupy a bucket slot) — the rung
+    tier builds its active-target planes this way with a much smaller
+    ``capacity`` than the full plane's.
     """
     from nbody.mesh.cells import build_cell_list
 
     n = pos.shape[0]
     dtype = jnp.float32
     K = -(-capacity // 128) * 128  # lane-align bucket width
-    cl = build_cell_list(pos.astype(dtype), box, ncell, capacity)
+    cl = build_cell_list(pos.astype(dtype), box, ncell, capacity,
+                         valid=valid)
     C3 = ncell**3
     M = ncell + 2
 
@@ -544,7 +571,8 @@ def build_padded_plane(pos, mass, box: float, r_cut: float, ncell: int,
 def run_cell_plane(
     plane, *, nx: int, ncell: int, K: int, eps2: float, r_s: float,
     r_cut: float, split: str = "gaussian", softening: str = "plummer",
-    interpret: bool | None = None, jb: int = 0,
+    interpret: bool | None = None, jb: int = 0, plane_j=None,
+    K_j: int = 0,
 ):
     """Run the cell-pair kernel over a (slab of a) ghost-padded plane.
 
@@ -554,10 +582,21 @@ def run_cell_plane(
     with ppermute-filled halos).  Returns an array of the same shape
     whose rows 0..2 hold the accumulated accelerations for the interior
     columns (ghost columns are unwritten).
+
+    ``plane_j``/``K_j``: optional SOURCE plane with its own bucket width
+    (same cell geometry).  Default: the plane interacts with itself.
+    The rung tier passes a small active-target plane as ``plane`` and
+    the full plane as ``plane_j`` — kernel work scales with
+    K_target * K_source instead of K_full^2.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     M = ncell + 2
+    if plane_j is None:
+        plane_j = plane
+        K_j = K
+    elif K_j <= 0:
+        raise ValueError("plane_j requires its bucket width K_j")
 
     def i_map(c2, o2):
         return (0, (c2 // ncell + 1) * M + (c2 % ncell + 1))
@@ -571,29 +610,31 @@ def run_cell_plane(
     return pl.pallas_call(
         functools.partial(
             _cell_kernel,
-            ncell=ncell, K=K, eps2=eps2, r_s=float(r_s), r_cut=float(r_cut),
-            split=split, softening=softening, jb=jb,
+            ncell=ncell, K=K, K_j=K_j, eps2=eps2, r_s=float(r_s),
+            r_cut=float(r_cut), split=split, softening=softening, jb=jb,
         ),
         grid=(nx * ncell, 9),
         in_specs=[
             pl.BlockSpec((8, M * K), i_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, M * K), j_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, M * K_j), j_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, M * K), i_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
         interpret=interpret,
-    )(plane, plane)
+    )(plane, plane_j)
 
 
-def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
+def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, K_j, eps2, r_s, r_cut,
                  split="gaussian", softening="plummer", jb=0):
     """One ghost-padded z-column of cells vs one (ox, oy) neighbor column.
 
-    i_ref/j_ref/out_ref: (8, (ncell+2)*K) padded columns — rows x, y, z,
-    mass, 0...  Real cells are z slots 1..ncell; their 3 z-neighbors are
-    the contiguous (K, 3K) window of the j column.  out accumulates acc
-    over the 9 (ox, oy) grid revisits; ghost z slots stay zero.  No
-    self-pair masking is needed: d = 0 gives zero force contribution.
+    i_ref/out_ref: (8, (ncell+2)*K) padded TARGET columns; j_ref the
+    (8, (ncell+2)*K_j) SOURCE column (K_j == K when the plane interacts
+    with itself) — rows x, y, z, mass, 0...  Real cells are z slots
+    1..ncell; their 3 z-neighbors are the contiguous (K, 3K_j) window of
+    the j column.  out accumulates acc over the 9 (ox, oy) grid
+    revisits; ghost z slots stay zero.  No self-pair masking is needed:
+    d = 0 gives zero force contribution.
     """
     o2 = pl.program_id(1)
 
@@ -602,18 +643,18 @@ def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     wfn = _weight_fn(split, softening)
-    # j-chunk width: must divide 3K (K % 128 == 0 makes 384 always
-    # valid).  Auto: the full 3K window while the (K, 3K) pair
+    # j-chunk width: must divide 3K_j (K_j % 128 == 0 makes 384 always
+    # valid).  Auto: the full 3K_j window while the (K, 3K_j) pair
     # temporaries stay well under the 16 MB scoped-vmem limit, else 384.
-    JB = jb if jb else (3 * K if K * 3 * K * 4 * 8 < 8 * 2**20 else 384)
+    JB = jb if jb else (3 * K_j if K * 3 * K_j * 4 * 8 < 8 * 2**20 else 384)
 
     # Two rolled fori_loops (not unrolled Python loops): Mosaic allocates
-    # kernel stack per unrolled op AND the (K, 3K) pair temporaries scale
-    # as K^2 — at the deep bucket capacities the clustering self-heal can
-    # reach (K ~ 640+), materialising the full window blows the 16 MB
-    # scoped-vmem limit; chunking the j-window keeps the stack O(K * JB)
-    # regardless of ncell or capacity.  Dynamic slice starts are
-    # multiples of 128: lane-aligned.
+    # kernel stack per unrolled op AND the (K, 3K_j) pair temporaries
+    # scale as K*K_j — at the deep bucket capacities the clustering
+    # self-heal can reach (K ~ 640+), materialising the full window blows
+    # the 16 MB scoped-vmem limit; chunking the j-window keeps the stack
+    # O(K * JB) regardless of ncell or capacity.  Dynamic slice starts
+    # are multiples of 128: lane-aligned.
     def body(b, carry):
         i_blk = i_ref[:, pl.ds(b * K, K)]
         xi = i_blk[0][:, None]
@@ -621,7 +662,7 @@ def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
         zi = i_blk[2][:, None]
 
         def inner(c, acc):
-            j_blk = j_ref[:, pl.ds((b - 1) * K + c * JB, JB)]
+            j_blk = j_ref[:, pl.ds((b - 1) * K_j + c * JB, JB)]
             xj = j_blk[0][None, :]
             yj = j_blk[1][None, :]
             zj = j_blk[2][None, :]
@@ -640,7 +681,7 @@ def _cell_kernel(i_ref, j_ref, out_ref, *, ncell, K, eps2, r_s, r_cut,
             )
 
         upd = jax.lax.fori_loop(
-            0, (3 * K) // JB, inner, jnp.zeros((8, K), i_blk.dtype)
+            0, (3 * K_j) // JB, inner, jnp.zeros((8, K), i_blk.dtype)
         )
         out_ref[:, pl.ds(b * K, K)] = out_ref[:, pl.ds(b * K, K)] + upd
         return carry
@@ -710,6 +751,69 @@ def p3m_short_cells_pallas(
     )
     acc = acc_buckets[gidx]
     return G * acc.astype(pos.dtype), overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "box", "eps", "r_s", "r_cut", "G", "ncell", "capacity",
+        "target_capacity", "interpret", "split", "softening",
+    ),
+)
+def p3m_short_cells_pallas_masked(
+    pos,
+    mass,
+    target,
+    box: float,
+    eps: float,
+    r_s: float,
+    r_cut: float,
+    G: float = 1.0,
+    *,
+    ncell: int,
+    capacity: int,
+    target_capacity: int,
+    interpret: bool | None = None,
+    split: str = "gaussian",
+    softening: str = "plummer",
+):
+    """Short-range P3M force ON a masked subset of particles FROM all.
+
+    The rung tier's hot call (CONCEPT subcycles only its deep rungs —
+    run-log "Rung population" lines,
+    `TheFeedingPipeline/.../params_id0000….log:6700-6719`): two
+    ghost-padded planes share the cell geometry — a compact TARGET plane
+    holding only ``target`` particles (bucket width ~K_target) and the
+    full SOURCE plane — so kernel work scales with K_target * K_source
+    instead of K_source^2.  Non-target rows come back exactly 0.
+
+    Returns (acc (N, 3), overflow_source, overflow_target): source- and
+    target-plane bucket spills are reported separately so the driver's
+    self-heal can double the right capacity (the target plane is
+    deliberately much smaller).
+    """
+    if box / ncell < r_cut - 1e-9:
+        raise ValueError(f"cell size {box / ncell:.3f} < r_cut {r_cut:.3f}")
+    n = pos.shape[0]
+    dtype = jnp.float32
+    M = ncell + 2
+
+    plane_j, ov_j, K_j, _ = build_padded_plane(
+        pos, mass, box, r_cut, ncell, capacity
+    )
+    plane_i, ov_i, K_i, gidx = build_padded_plane(
+        pos, mass, box, r_cut, ncell, target_capacity, valid=target
+    )
+    out = run_cell_plane(
+        plane_i, nx=ncell, ncell=ncell, K=K_i, eps2=float(eps) ** 2,
+        r_s=r_s, r_cut=r_cut, split=split, softening=softening,
+        interpret=interpret, plane_j=plane_j, K_j=K_j,
+    )
+    acc_buckets = jnp.concatenate(
+        [out[:3].reshape(3, M**3 * K_i).T, jnp.zeros((1, 3), dtype)], axis=0
+    )
+    acc = acc_buckets[gidx]
+    return G * acc.astype(pos.dtype), ov_j, ov_i
 
 
 def p3m_cell_overflow(pos, box: float, nmesh: int, capacity: int | None = None) -> int:

@@ -1,0 +1,423 @@
+"""Column-packed short-range P3M tier: z-sorted cell COLUMNS with
+dynamic z-windows.
+
+Why: the per-cell bucket kernel (`nbody.forces.p3m.run_cell_plane`) pads
+every chaining cell to a lane-aligned width K >= 128 and evaluates
+K x 3K slot-pairs per cell — at production occupancies (~25-100
+particles/cell) most slots are sentinel padding, so useful-pair
+efficiency is a few percent (measured round 3: 204 ms of a 521 ms P3M
+eval at N=2^20, 60% slot throughput but ~(occ/K)^2 utilisation).
+
+Here the unit is an (x, y) chaining COLUMN: its particles are z-sorted
+into one contiguous bucket of capacity CK, padding amortises once per
+COLUMN instead of once per cell, and each 128-particle i-chunk interacts
+only with the z-WINDOW of the 9 neighbour columns that its z-range
++- r_cut can reach (window starts precomputed per chunk by vectorised
+searchsorted, fed to the kernel as scalar-prefetch data; lane-aligned).
+Slot-pair work drops ~4x at N=2^20 and more for clustered states.
+
+Geometry is identical to the cell tier (columns of side >= r_cut), so
+the same r_cut/split/softening physics applies; xy periodicity is one
+ring of ghost columns (+-box baked into coordinates), z periodicity is a
+GZ-slot ghost copy at each end of every column (so the kernel needs no
+minimum-image arithmetic at all).  Both bucket and window overflow are
+counted and returned — the driver's capacity self-heal doubles the
+right knob (col_capacity / window).
+
+Reference role: CONCEPT's P3M short-range pass (its tiling lives in C;
+`TheFeedingPipeline/NN.param:81-83`); this is the TPU-shaped packing of
+the same O(N * neighbourhood) idea.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbody.forces.p3m import _weight_fn
+
+_ZBITS = 21
+
+
+def ghost_slots(col_capacity: int) -> int:
+    """z-ghost capacity per column end: r_cut is a small fraction of the
+    column height, so CK/4 covers even strongly clustered boundary
+    blobs; ghost demand beyond this is counted as overflow (self-heal
+    doubles col_capacity, which scales the ghosts too)."""
+    return max(128, (col_capacity // 4 // 128) * 128)
+
+
+def column_window(box: float, r_cut: float, col_capacity: int) -> int:
+    """Auto z-window for a given column capacity: a 128-slot chunk's
+    z-span + 2 r_cut of margin (in slots, conservatively scaled by the
+    CAPACITY rather than the mean, with Poisson headroom) + ghost
+    duplication near the z boundary + up to 127 slots of start
+    alignment.  Correctness never depends on this — window misses are
+    counted as overflow — it only sets the work/robustness trade."""
+    rc_slots = (r_cut / box) * col_capacity
+    # 256 chunk + 2 r_cut margins + 127 start alignment + 128 for the
+    # conservative fence-based hi bound
+    span = 256.0 + 2.2 * rc_slots + 127.0 + 128.0
+    window = max(384, -(-int(span) // 128) * 128)
+    return min(window, col_capacity + 2 * ghost_slots(col_capacity))
+
+
+def column_params(box: float, nmesh: int, n: int):
+    """(r_s, r_cut, ncell, col_capacity, window) defaults for the column
+    tier.  col_capacity covers the mean column + 6 sigma Poisson tail.
+    Clustered states exceed it — the driver self-heal doubles it (the
+    window scales along via :func:`column_window`)."""
+    from nbody.forces.p3m import p3m_short_params
+
+    r_s, r_cut, ncell, _ = p3m_short_params(box, nmesh, n)
+    mean_col = n / ncell**2
+    cap = int(mean_col + 6.0 * mean_col**0.5 + 8)
+    col_capacity = -(-cap // 128) * 128
+    return r_s, r_cut, ncell, col_capacity, column_window(
+        box, r_cut, col_capacity
+    )
+
+
+def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
+                       col_capacity: int, window: int, chunk: int = 256):
+    """Sort particles into z-ordered (x, y)-column buckets and assemble
+    the ghost-padded SoA plane plus the per-chunk window tables.
+
+    Returns (plane (8, P2 * stride), ws (ncol * 9 * maxch,) int32,
+    nch (ncol,) int32, overflow_bucket, overflow_window, gidx (n,)):
+    P2 = (ncell+2)^2 padded columns of stride = CK + 2 GZ slots each,
+    every column ascending in z (front ghosts < reals < back ghosts <
+    sentinel padding); ``ws`` holds each (i-column, neighbour, chunk)'s
+    lane-aligned j-window start; ``gidx`` maps particles to their padded
+    slot for the gather-back.
+    """
+    n = pos.shape[0]
+    dtype = jnp.float32
+    CK = -(-col_capacity // 128) * 128
+    gz = ghost_slots(CK)
+    stride = CK + 2 * gz
+    W = -(-window // 128) * 128
+    maxch = CK // chunk
+    ncol = ncell * ncell
+    P = ncell + 2
+    P2 = P * P
+    zmargin = 1.0001 * r_cut
+    far = jnp.asarray([-8.0 * r_cut, -8.0 * r_cut], dtype)
+
+    posw = jnp.mod(pos, box).astype(dtype)
+    massf = mass.astype(dtype)
+    cx = jnp.clip((posw[:, 0] * (ncell / box)).astype(jnp.int32), 0, ncell - 1)
+    cy = jnp.clip((posw[:, 1] * (ncell / box)).astype(jnp.int32), 0, ncell - 1)
+    col = cx * ncell + cy
+    zq = jnp.clip(
+        (posw[:, 2] * ((1 << _ZBITS) / box)).astype(jnp.int32),
+        0, (1 << _ZBITS) - 1,
+    )
+    order = jnp.argsort((col << _ZBITS) | zq)
+    pos_s = posw[order]
+    mass_s = massf[order]
+    col_s = col[order]
+
+    counts = jnp.bincount(col, length=ncol).astype(jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[col_s]
+    ok = rank < CK
+    overflow_b = jnp.sum(~ok).astype(jnp.int32)
+
+    # ---- interior scatter (z-ascending within each column) -------------
+    # padding sentinel: far in x/y AND above every back ghost in z so the
+    # column stays globally ascending for searchsorted
+    z_pad = box + 3.0 * r_cut
+    defaults = jnp.asarray([-8.0 * r_cut, -8.0 * r_cut, z_pad, 0.0], dtype)
+    slot = jnp.where(ok, col_s * stride + gz + rank, ncol * stride)
+    data = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
+    buf = (
+        jnp.broadcast_to(defaults, (ncol * stride + 1, 4))
+        .at[slot]
+        .set(data)[: ncol * stride]
+    )
+
+    # ---- z ghosts ------------------------------------------------------
+    g = jnp.arange(gz, dtype=jnp.int32)
+    cols = jnp.arange(ncol, dtype=jnp.int32)
+    # ghost-demand overflow: reals in the wrap margin beyond the gz
+    # ghost capacity would be silently missing wrap partners — count
+    # them so the self-heal can grow the column instead
+    in_back = (posw[:, 2] <= zmargin).astype(jnp.int32)
+    in_front = (posw[:, 2] >= box - zmargin).astype(jnp.int32)
+    nb = jnp.bincount(col, weights=in_back, length=ncol)
+    nf = jnp.bincount(col, weights=in_front, length=ncol)
+    ov_g = (
+        jnp.sum(jnp.maximum(nb - gz, 0)) + jnp.sum(jnp.maximum(nf - gz, 0))
+    ).astype(jnp.int32)
+    # back ghosts: the first min(gz, count) reals with z <= zmargin,
+    # copied above the reals at z + box (slots gz+count .. )
+    src_b = starts[:, None] + g[None, :]
+    valid_b = (g[None, :] < jnp.minimum(counts, CK)[:, None])
+    zb = pos_s[jnp.clip(src_b, 0, max(n - 1, 0)), 2]
+    valid_b = valid_b & (zb <= zmargin)
+    dst_b = jnp.where(
+        valid_b,
+        cols[:, None] * stride + gz + jnp.minimum(counts, CK)[:, None]
+        + g[None, :],
+        ncol * stride,
+    )
+    vals_b = jnp.concatenate(
+        [
+            pos_s[jnp.clip(src_b, 0, max(n - 1, 0)), 0:2],
+            (zb + box)[..., None],
+            mass_s[jnp.clip(src_b, 0, max(n - 1, 0))][..., None],
+        ],
+        axis=-1,
+    )
+    buf = (
+        jnp.concatenate([buf, defaults[None, :]], axis=0)
+        .at[dst_b.reshape(-1)]
+        .set(vals_b.reshape(-1, 4))[: ncol * stride]
+    )
+    # front ghosts: the last min(GZ, count) reals with z >= box - zmargin
+    # copied below at z - box (slots 0..GZ); invalid entries keep a very
+    # negative z so ascending order holds
+    src_f = starts[:, None] + jnp.minimum(counts, CK)[:, None] - gz + g[None, :]
+    valid_f = src_f >= starts[:, None]
+    zf = pos_s[jnp.clip(src_f, 0, max(n - 1, 0)), 2]
+    valid_f = valid_f & (zf >= box - zmargin)
+    vals_f = jnp.concatenate(
+        [
+            pos_s[jnp.clip(src_f, 0, max(n - 1, 0)), 0:2],
+            (zf - box)[..., None],
+            mass_s[jnp.clip(src_f, 0, max(n - 1, 0))][..., None],
+        ],
+        axis=-1,
+    )
+    front_default = jnp.asarray(
+        [-8.0 * r_cut, -8.0 * r_cut, -2.0 * box, 0.0], dtype
+    )
+    # front slots are contiguous per column: assemble the (ncol, gz, 4)
+    # block directly instead of a full-buffer scatter
+    front = jnp.where(valid_f[..., None], vals_f, front_default)
+    buf = buf.reshape(ncol, stride, 4).at[:, :gz].set(front)
+
+    # ---- window tables (before xy padding; ghost columns share their
+    # source column's z content) ----------------------------------------
+    zcols = buf[:, :, 2]  # (ncol, stride) ascending
+    ch = jnp.arange(maxch, dtype=jnp.int32)
+    nch = -(-jnp.minimum(counts, CK) // chunk)
+    idx0 = starts[:, None] + ch[None, :] * chunk
+    last = starts[:, None] + jnp.minimum(counts, CK)[:, None] - 1
+    zmin = pos_s[jnp.clip(idx0, 0, max(n - 1, 0)), 2]
+    zmax = pos_s[
+        jnp.clip(jnp.minimum(idx0 + chunk - 1, last), 0, max(n - 1, 0)), 2
+    ]
+    chunk_ok = ch[None, :] < nch[:, None]
+
+    # windows via 128-slot FENCES: each column's z at every 128th slot
+    # (stride/128 values) replaces full searchsorted over the stride —
+    # the window start only needs 128-alignment anyway, and the overflow
+    # check uses the (<=128-slot conservative) fence upper bound.
+    ic_x = cols // ncell
+    ic_y = cols % ncell
+    nf_fence = stride // 128
+    fence = zcols[:, ::128]  # (ncol, nf_fence) ascending
+    ws_list = []
+    ov_w = jnp.int32(0)
+    for o2 in range(9):
+        dxo, dyo = o2 // 3 - 1, o2 % 3 - 1
+        nc = (
+            jnp.mod(ic_x + dxo, ncell) * ncell + jnp.mod(ic_y + dyo, ncell)
+        )  # (ncol,)
+        fj = fence[nc]  # (ncol, nf_fence)
+        qlo = (zmin - r_cut)[:, :, None]           # (ncol, maxch, 1)
+        qhi = (zmax + r_cut)[:, :, None]
+        # start = block before the first fence exceeding qlo
+        cnt_lo = jnp.sum(fj[:, None, :] <= qlo, axis=-1)
+        start = jnp.clip(
+            (jnp.maximum(cnt_lo - 1, 0)) * 128, 0, stride - W
+        ).astype(jnp.int32)
+        # hi upper bound: all slots with z < qhi live in blocks whose
+        # fence is < qhi
+        hi_ub = jnp.sum(fj[:, None, :] < qhi, axis=-1) * 128
+        ov_w = ov_w + jnp.sum(
+            jnp.where(chunk_ok, jnp.maximum(hi_ub - start - W, 0), 0)
+        ).astype(jnp.int32)
+        ws_list.append(start)
+    ws = jnp.stack(ws_list, axis=1).reshape(ncol * 9 * maxch)  # (ncol,9,maxch)
+    ov_w = ov_w + ov_g
+
+    # ---- xy ghost ring -------------------------------------------------
+    grid4 = buf.reshape(ncell, ncell, stride, 4)
+    padded = jnp.pad(grid4, ((1, 1), (1, 1), (0, 0), (0, 0)), mode="wrap")
+    for ax in range(2):
+
+        def shifted(sl, delta):
+            lo_ = padded[(slice(None),) * ax + (sl,)]
+            return lo_.at[..., ax].add(
+                jnp.where(lo_[..., 3] > 0, delta, 0.0)
+            )
+
+        padded = padded.at[(slice(None),) * ax + (0,)].set(shifted(0, -box))
+        padded = padded.at[(slice(None),) * ax + (P - 1,)].set(
+            shifted(P - 1, box)
+        )
+
+    plane = jnp.concatenate(
+        [
+            jnp.moveaxis(padded.reshape(P2 * stride, 4), -1, 0),
+            jnp.zeros((4, P2 * stride), dtype),
+        ],
+        axis=0,
+    )
+
+    # particle -> padded slot (for the gather-back)
+    pc = (cx + 1) * P + (cy + 1)
+    gidx_s = jnp.where(ok, pc[order] * stride + gz + rank, P2 * stride)
+    gidx = jnp.zeros((n,), jnp.int32).at[order].set(gidx_s.astype(jnp.int32))
+    return plane, ws, nch.astype(jnp.int32), overflow_b, ov_w, gidx
+
+
+def _column_kernel(ws_ref, nch_ref, i_ref, j_ref, out_ref, *, ncell,
+                   stride, W, maxch, gz, chunk, eps2, r_s, r_cut, split,
+                   softening):
+    """One padded i-column vs one of its 9 (ox, oy) neighbour columns.
+
+    i_ref/j_ref/out_ref: (8, stride) SoA columns (rows x, y, z, mass).
+    The chunk loop runs only over the column's OCCUPIED 128-slot chunks
+    (dynamic trip count from scalar prefetch) and each chunk reads only
+    its precomputed z-window of the j column."""
+    ic = pl.program_id(0)
+    o2 = pl.program_id(1)
+
+    @pl.when(o2 == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    wfn = _weight_fn(split, softening)
+    nch = nch_ref[ic]
+
+    def body(k, carry):
+        start = pl.multiple_of(ws_ref[(ic * 9 + o2) * maxch + k], 128)
+        i_blk = i_ref[:, pl.ds(gz + k * chunk, chunk)]
+        j_blk = j_ref[:, pl.ds(start, W)]
+        xi = i_blk[0][:, None]
+        yi = i_blk[1][:, None]
+        zi = i_blk[2][:, None]
+        xj = j_blk[0][None, :]
+        yj = j_blk[1][None, :]
+        zj = j_blk[2][None, :]
+        mj = j_blk[3][None, :]
+        dx = xj - xi
+        dy = yj - yi
+        dz = zj - zi
+        r2 = dx * dx + dy * dy + dz * dz
+        w = mj * wfn(r2, eps2, r_s, r_cut)
+        ax = jnp.sum(w * dx, axis=1)
+        ay = jnp.sum(w * dy, axis=1)
+        az = jnp.sum(w * dz, axis=1)
+        zero = jnp.zeros_like(ax)
+        upd = jnp.stack([ax, ay, az, zero, zero, zero, zero, zero])
+        sl = pl.ds(gz + k * chunk, chunk)
+        out_ref[:, sl] = out_ref[:, sl] + upd
+        return carry
+
+    jax.lax.fori_loop(0, nch, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "box", "eps", "r_s", "r_cut", "G", "ncell", "col_capacity",
+        "window", "interpret", "split", "softening", "chunk",
+    ),
+)
+def p3m_short_columns_pallas(
+    pos,
+    mass,
+    box: float,
+    eps: float,
+    r_s: float,
+    r_cut: float,
+    G: float = 1.0,
+    *,
+    ncell: int,
+    col_capacity: int,
+    window: int,
+    interpret: bool | None = None,
+    split: str = "gaussian",
+    softening: str = "plummer",
+    chunk: int = 256,
+):
+    """Short-range P3M force via the column-packed Pallas kernel.
+
+    Same physics/geometry as :func:`nbody.forces.p3m.
+    p3m_short_cells_pallas` with ~4x less slot-pair work (see module
+    docstring).  Returns (acc (N, 3), overflow) where overflow combines
+    column-bucket spills and z-window spills — either drops force, both
+    trigger the driver self-heal (which doubles col_capacity; the window
+    scales with it).
+    """
+    if box / ncell < r_cut - 1e-9:
+        raise ValueError(f"column size {box / ncell:.3f} < r_cut {r_cut:.3f}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = pos.shape[0]
+    dtype = jnp.float32
+    CK = -(-col_capacity // 128) * 128
+    gz = ghost_slots(CK)
+    if CK % chunk:
+        chunk = 128
+    stride = CK + 2 * gz
+    W = min(-(-window // 128) * 128, stride)
+    maxch = CK // chunk
+    P = ncell + 2
+    P2 = P * P
+
+    plane, ws, nch, ov_b, ov_w, gidx = build_column_plane(
+        pos, mass, box, float(r_cut), ncell, CK, W, chunk=chunk
+    )
+
+    def i_map(ic, o2, *_):
+        return (0, (ic // ncell + 1) * P + (ic % ncell + 1))
+
+    def j_map(ic, o2, *_):
+        return (
+            0,
+            (ic // ncell + 1 + o2 // 3 - 1) * P
+            + (ic % ncell + 1 + o2 % 3 - 1),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ncell * ncell, 9),
+        in_specs=[
+            pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, stride), j_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _column_kernel,
+            ncell=ncell, stride=stride, W=W, maxch=maxch, gz=gz,
+            chunk=chunk,
+            eps2=float(eps) ** 2, r_s=float(r_s), r_cut=float(r_cut),
+            split=split, softening=softening,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
+        interpret=interpret,
+    )(ws, nch, plane, plane)
+
+    acc_buckets = jnp.concatenate(
+        [out[:3].reshape(3, P2 * stride).T, jnp.zeros((1, 3), dtype)],
+        axis=0,
+    )
+    acc = acc_buckets[gidx]
+    return G * acc.astype(pos.dtype), ov_b + ov_w

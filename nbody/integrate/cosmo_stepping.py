@@ -411,3 +411,198 @@ def make_adaptive_cosmo_runner(
         return st, n, ov, dla, hist
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Per-particle rung stepping (CONCEPT's rung subdivision, TPU-shaped)
+# ---------------------------------------------------------------------------
+
+
+def rung_kick_tables(cosmo: Cosmology, a_grid, n_rungs: int):
+    """Host-precomputed per-rung kick factors for block-step KDK.
+
+    CONCEPT subdivides each global step into per-particle rungs: rung r
+    particles receive short-range kicks every 2^(n_rungs-1-r) of the
+    n_sub = 2^(n_rungs-1) sub-ticks (run-log "Rung population" lines,
+    reference `TheFeedingPipeline/.../params_id0000….log:6700-6719`).
+    For every global step of ``a_grid`` and each rung r, this lays the
+    sub-ticks out log-uniformly and integrates the exact kick factors
+    over each rung's own sub-intervals (KDK: half-kicks around the
+    geometric midpoint).
+
+    Returns (Fk, Dr, A_sub):
+      Fk (n_steps, n_sub+1, n_rungs): kick factor applied AT tick j to a
+        rung-r particle (0 when r is inactive at j; boundary ticks 0 and
+        n_sub carry the opening/closing half-kicks);
+      Dr (n_steps, n_sub): shared drift factor of each sub-tick;
+      A_sub (n_steps, n_sub): scale factor at the END of each sub-tick.
+    """
+    a_grid = np.asarray(a_grid, dtype=np.float64)
+    n_steps = len(a_grid) - 1
+    n_sub = 2 ** (n_rungs - 1)
+    Fk = np.zeros((n_steps, n_sub + 1, n_rungs))
+    Dr = np.empty((n_steps, n_sub))
+    A_sub = np.empty((n_steps, n_sub))
+    for i in range(n_steps):
+        t = np.geomspace(a_grid[i], a_grid[i + 1], n_sub + 1)
+        _, dr, _, _ = cosmo_kick_drift_factors(cosmo, t)
+        Dr[i] = dr
+        A_sub[i] = t[1:]
+        for r in range(n_rungs):
+            m = 2 ** (n_rungs - 1 - r)
+            bounds = t[::m]  # this rung's sub-interval boundaries
+            k1, _, k2, _ = cosmo_kick_drift_factors(cosmo, bounds)
+            for b in range(len(bounds) - 1):
+                Fk[i, b * m, r] += k1[b]        # opening half-kick
+                Fk[i, (b + 1) * m, r] += k2[b]  # closing half-kick
+    return Fk, Dr, A_sub
+
+
+def rung_active_min(j: int, n_rungs: int) -> int:
+    """Minimum active rung at sub-tick j (1..n_sub-1): rungs whose
+    sub-interval boundary falls on j, i.e. r >= n_rungs-1-v2(j)."""
+    v2 = 0
+    while j % 2 == 0:
+        j //= 2
+        v2 += 1
+    return n_rungs - 1 - v2
+
+
+def run_cosmological_rungs(
+    state: ParticleState,
+    cosmo: Cosmology,
+    a_grid,
+    acc_long_fn,
+    acc_short_fn,
+    acc_short_masked_fn,
+    box: float,
+    n_rungs: int,
+    cell: float,
+    eta_disp: float = 0.25,
+    eta_acc: float = 0.025,
+    eps: float = 0.0,
+):
+    """Block-step KDK with per-particle rungs (the full CONCEPT scheme).
+
+    Each global step: rungs are assigned from the displacement demand
+    (dla_i = eta_disp * cell * a^2 H / |p_i|, the same criterion as the
+    adaptive chooser: rung r wants the global step / 2^r), the far field
+    kicks at the global half-steps, and short-range kicks run per rung —
+    rung r at every 2^(n_rungs-1-r)-th of the n_sub = 2^(n_rungs-1)
+    sub-ticks.  The demand combines the displacement criterion with the
+    ACCELERATION criterion dt <= sqrt(2 eta_acc eps / |acc_pec|)
+    (Gadget/CONCEPT's rung rule — halo particles have large |g| long
+    before they have large |v|, and the round-3 parity study measured a
+    displacement-only rung assignment re-opening the growth-ratio gap:
+    1.037 vs 1.075).  Both etas are traced, so tuning them reuses the
+    compile.  Interior sub-ticks evaluate the short force ONLY for the
+    active rung set via ``acc_short_masked_fn(pos, mass, active, a) ->
+    (g, overflow)`` (two-plane cell kernel,
+    `nbody.forces.p3m.p3m_short_cells_pallas_masked`): with CONCEPT-like
+    populations (~5% above rung 0) almost all interior-tick work
+    vanishes, which is how CONCEPT's P3M affords 142 steps in 4:18 on a
+    desktop.  Boundary ticks use the full ``acc_short_fn`` and the
+    trailing force is reused as the next step's leading one.
+
+    ``acc_long_fn(pos, mass, a) -> g``; ``acc_short_fn`` returns
+    (g, overflow).  Returns (final_state, max_overflow:int32,
+    max_target_overflow:int32, rung_hists (n_steps, n_rungs)) — the
+    target channel tracks the (much smaller) active-plane capacity so
+    the driver self-heals the right one.
+    """
+    a_grid = np.asarray(a_grid, dtype=np.float64)
+    n_steps = len(a_grid) - 1
+    n_sub = 2 ** (n_rungs - 1)
+    KL1, _, KL2, _ = cosmo_kick_drift_factors(cosmo, a_grid)
+    Fk, Dr, A_sub = rung_kick_tables(cosmo, a_grid, n_rungs)
+
+    dtype = state.pos.dtype
+    xs = (
+        jnp.asarray(a_grid[:-1], dtype),
+        jnp.asarray(a_grid[1:], dtype),
+        jnp.asarray(KL1, dtype),
+        jnp.asarray(KL2, dtype),
+        jnp.asarray(Fk, dtype),
+        jnp.asarray(Dr, dtype),
+        jnp.asarray(A_sub, dtype),
+    )
+    return _run_scan_rungs(
+        state, xs, jnp.asarray(box, dtype), acc_long_fn, acc_short_fn,
+        acc_short_masked_fn, int(n_rungs), jnp.asarray(cell, dtype),
+        jnp.asarray(eta_disp, dtype),
+        jnp.asarray(2.0 * eta_acc * eps, dtype), cosmo,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "acc_long_fn", "acc_short_fn", "acc_short_masked_fn", "n_rungs",
+        "cosmo",
+    ),
+)
+def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
+                    acc_short_masked_fn, n_rungs, cell, eta_disp,
+                    eta_acc_eps2, cosmo):
+    n_sub = 2 ** (n_rungs - 1)
+    H0, Om, OL = float(cosmo.H0), float(cosmo.Omega_m), float(cosmo.Omega_L)
+
+    gl0 = acc_long_fn(state.pos, state.mass, state.time)
+    gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
+
+    def body(carry, x):
+        st, gl, gs, ov = carry
+        a0, a1, kl1, kl2, Fk, Dr, A_sub = x
+
+        # rung assignment: displacement AND acceleration demand at step
+        # start (dt <= sqrt(2 eta_acc eps a / |g|); g = dp/dt carried)
+        H = H0 * jnp.sqrt(Om / a0**3 + OL)
+        speed = jnp.linalg.norm(st.vel, axis=-1)
+        dla_disp = eta_disp * cell * a0**2 * H / jnp.maximum(speed, 1e-30)
+        gmag = jnp.linalg.norm(gl + gs, axis=-1)
+        dla_acc = jnp.where(
+            eta_acc_eps2 > 0,
+            H * jnp.sqrt(eta_acc_eps2 * a0 / jnp.maximum(gmag, 1e-30)),
+            jnp.inf,
+        )
+        dla_i = jnp.minimum(dla_disp, dla_acc)
+        dla_step = jnp.log(a1) - jnp.log(a0)
+        rung = jnp.clip(
+            jnp.ceil(jnp.log2(dla_step / jnp.maximum(dla_i, 1e-30))),
+            0, n_rungs - 1,
+        ).astype(jnp.int32)
+        hist = jnp.bincount(rung, length=n_rungs).astype(jnp.int32)
+
+        p = st.vel + gl * kl1                      # long opening half-kick
+        p = p + gs * Fk[0][rung][:, None]          # tick-0 short kicks
+        pos = st.pos
+        ov_s = jnp.int32(0)
+        ov_t = jnp.int32(0)
+        gs_new = gs
+        for j in range(1, n_sub + 1):
+            pos = jnp.mod(pos + p * Dr[j - 1], box)
+            if j < n_sub:
+                act = rung >= rung_active_min(j, n_rungs)
+                g, o, ot = acc_short_masked_fn(
+                    pos, st.mass, act, A_sub[j - 1]
+                )
+                ov_t = jnp.maximum(ov_t, ot)
+            else:
+                g, o = acc_short_fn(pos, st.mass, A_sub[j - 1])
+                gs_new = g
+            p = p + g * Fk[j][rung][:, None]
+            ov_s = jnp.maximum(ov_s, o)
+
+        gl_new = acc_long_fn(pos, st.mass, a1)
+        p = p + gl_new * kl2
+        st = st.replace(pos=pos, vel=p, time=a1)
+        ovf, ovt = ov
+        return (
+            st, gl_new, gs_new,
+            (jnp.maximum(ovf, ov_s), jnp.maximum(ovt, ov_t)),
+        ), hist
+
+    (final, _, _, (ovf, ovt)), hists = jax.lax.scan(
+        body, (state, gl0, gs0, (ov0, jnp.int32(0))), xs
+    )
+    return final, ovf, ovt, hists

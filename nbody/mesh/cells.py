@@ -52,15 +52,22 @@ def cell_capacity(n: int, ncell: int, headroom: float = 1.0, minimum: int = 8) -
 
 
 @functools.partial(jax.jit, static_argnames=("ncell", "capacity"))
-def build_cell_list(pos, box, ncell: int, capacity: int) -> CellList:
+def build_cell_list(pos, box, ncell: int, capacity: int,
+                    valid=None) -> CellList:
     """Bucket particles into an (ncell,)*3 grid of side box/ncell.
 
     ``pos`` may be unwrapped; positions are folded into [0, box).
+    ``valid`` (n,) bool excludes particles entirely (sentinel slot, no
+    bucket space, not counted as overflow) — used by the rung tier's
+    active-target planes.
     """
     n = pos.shape[0]
     s = jnp.mod(pos, box) * (ncell / box)
     c = jnp.clip(s.astype(jnp.int32), 0, ncell - 1)
     cid = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
+    if valid is not None:
+        # invalid particles sort past every real cell and never fit
+        cid = jnp.where(valid, cid, ncell**3)
 
     order = jnp.argsort(cid)
     cid_s = cid[order]
@@ -71,8 +78,8 @@ def build_cell_list(pos, box, ncell: int, capacity: int) -> CellList:
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
     )
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[cid_s]
-    ok = rank < capacity
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[jnp.minimum(cid_s, ncell**3 - 1)]
+    ok = (rank < capacity) & (cid_s < ncell**3)
 
     table = jnp.full((ncell**3 * capacity,), n, dtype=jnp.int32)
     lin = cid_s * capacity + rank
@@ -81,7 +88,7 @@ def build_cell_list(pos, box, ncell: int, capacity: int) -> CellList:
     slots = (
         jnp.zeros((n,), jnp.int32).at[order].set(slot_s.astype(jnp.int32))
     )
-    overflow = jnp.sum(~ok).astype(jnp.int32)
+    overflow = jnp.sum(~ok & (cid_s < ncell**3)).astype(jnp.int32)
     return CellList(
         indices=table.reshape(ncell**3, capacity),
         counts=counts,

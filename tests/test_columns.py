@@ -1,0 +1,112 @@
+"""Column-packed short-range tier (nbody/forces/p3m_columns.py).
+
+Oracle is the dense jnp short-range sum; the tier must either match it
+or REPORT overflow (bucket, z-window, or z-ghost demand) — never
+silently drop force."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nbody.forces.p3m import p3m_acc, p3m_short_direct
+from nbody.forces.p3m_columns import (
+    column_params,
+    column_window,
+    p3m_short_columns_pallas,
+)
+
+
+def _uniform(n, box, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    return pos, mass
+
+
+def _clustered(n, box, seed=0, nblob=6, sigma=3.0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(0, box, (nblob, 3))
+    pos = (centers[rng.integers(0, nblob, n)]
+           + rng.normal(0, sigma, (n, 3))) % box
+    return (jnp.asarray(pos, jnp.float32),
+            jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32))
+
+
+@pytest.mark.parametrize("split", ["spline", "gaussian"])
+def test_uniform_matches_oracle(split):
+    n, box, nmesh = 4000, 100.0, 32
+    r_s, r_cut, ncell, CK, W = column_params(box, nmesh, n)
+    pos, mass = _uniform(n, box)
+    ref = p3m_short_direct(pos, mass, box, 0.1, r_s, r_cut, split=split,
+                           softening="spline")
+    acc, ov = p3m_short_columns_pallas(
+        pos, mass, box, 0.1, r_s, r_cut,
+        ncell=ncell, col_capacity=CK, window=W, split=split,
+        softening="spline",
+    )
+    assert int(ov) == 0
+    rel = np.linalg.norm(
+        np.asarray(acc, np.float64) - np.asarray(ref), axis=1
+    ) / np.maximum(np.linalg.norm(np.asarray(ref), axis=1), 1e-10)
+    assert rel.max() < 1e-4 and np.median(rel) < 1e-5
+
+
+def test_clustered_selfheal_matches_oracle():
+    """Clustered z-boundary blobs: the default capacity must REPORT
+    overflow; doubling until clean must then match the oracle (the
+    driver's self-heal loop)."""
+    n, box, nmesh = 3000, 100.0, 24
+    r_s, r_cut, ncell, CK, _ = column_params(box, nmesh, n)
+    pos, mass = _clustered(n, box)
+    ref = p3m_short_direct(pos, mass, box, 0.1, r_s, r_cut, split="spline",
+                           softening="spline")
+    ck = CK
+    for _ in range(6):
+        acc, ov = p3m_short_columns_pallas(
+            pos, mass, box, 0.1, r_s, r_cut,
+            ncell=ncell, col_capacity=ck,
+            window=column_window(box, r_cut, ck),
+            split="spline", softening="spline",
+        )
+        if int(ov) == 0:
+            break
+        ck *= 2
+    assert int(ov) == 0
+    rel = np.linalg.norm(
+        np.asarray(acc, np.float64) - np.asarray(ref), axis=1
+    ) / np.maximum(np.linalg.norm(np.asarray(ref), axis=1), 1e-10)
+    assert rel.max() < 1e-4
+
+
+def test_undersized_capacity_reports_overflow():
+    n, box, nmesh = 3000, 100.0, 24
+    r_s, r_cut, ncell, CK, W = column_params(box, nmesh, n)
+    pos, mass = _clustered(n, box)
+    _, ov = p3m_short_columns_pallas(
+        pos, mass, box, 0.1, r_s, r_cut,
+        ncell=ncell, col_capacity=max(128, CK // 2), window=256,
+        split="spline", softening="spline",
+    )
+    assert int(ov) > 0
+
+
+def test_p3m_acc_columns_tier_matches_cells():
+    """shortrange='columns' through the public p3m_acc == the cells
+    tier (same split physics, different packing)."""
+    n, box, nmesh = 4000, 100.0, 32
+    pos, mass = _uniform(n, box, seed=5)
+    a_cells, ov1 = p3m_acc(
+        pos, mass, box, nmesh, eps=0.1, shortrange="cells",
+        split="spline", with_overflow=True,
+    )
+    a_cols, ov2 = p3m_acc(
+        pos, mass, box, nmesh, eps=0.1, shortrange="columns",
+        split="spline", with_overflow=True,
+    )
+    assert int(ov1) == 0 and int(ov2) == 0
+    rel = np.linalg.norm(
+        np.asarray(a_cols, np.float64) - np.asarray(a_cells, np.float64),
+        axis=1,
+    ) / np.maximum(np.linalg.norm(np.asarray(a_cells), axis=1), 1e-12)
+    assert rel.max() < 1e-4
