@@ -128,7 +128,9 @@ class SimulationConfig:
     # fine kicks.  Overrides `subcycles` (the uniform-cadence tier).
     # run.log gains per-step "Rung population" lines.
     rung_capacity: int = 0  # bucket capacity of the active-target plane;
-    # 0 = auto (64, self-healed upward on overflow like cell_capacity)
+    # 0 = auto (128 — one full Pallas lane quantum; pre-warmed from the
+    # densest active bucket each segment and self-healed on overflow
+    # like cell_capacity)
     time_stepping: str = "fixed"  # 'fixed' (log-a grid of n_steps) |
     # 'adaptive' (the run chooses its own steps like CONCEPT's adaptive
     # integration — n_steps then caps the total; run.log gains
@@ -137,9 +139,13 @@ class SimulationConfig:
     # (~0.0276 reproduces CONCEPT's ~142 steps over a=0.02->1)
     step_eta_disp: float = 0.25  # adaptive: max per-step drift in units
     # of the PM cell size (displacement criterion)
-    step_eta_acc: float = 0.025  # rungs: acceleration criterion
+    step_eta_acc: float = 0.1  # rungs: acceleration criterion
     # dt <= sqrt(2 eta_acc eps / |acc|) (the Gadget/CONCEPT rung rule;
-    # halo particles subdivide by |g| long before |v| grows)
+    # halo particles subdivide by |g| long before |v| grows).  0.1
+    # reproduces CONCEPT-like rung populations (~96% rung 0 at the 64^3
+    # parity study's late times, vs ~89% at Gadget's 0.025) and was
+    # validated on chip to keep the growth ratio within the parity
+    # contract (scripts/exp_rung_etas.py sweep + rungs_summary.json)
 
     # -- initial conditions ---------------------------------------------------
     lpt_order: int = 1  # 1 (Zel'dovich) or 2 (2LPT)

@@ -74,9 +74,15 @@ def _tier_capacity(config: SimulationConfig):
     return "cell_capacity", (config.cell_capacity or None)
 
 
+@functools.lru_cache(maxsize=64)
 def build_cosmo_force(config: SimulationConfig, checked: bool = False) -> Callable:
     """acc_fn(pos, mass, a) -> canonical-momentum force for the config's
-    solver.  All three comoving solvers reduce to the Newtonian periodic
+    solver.  Memoized on the (frozen, hashable) config: repeated runs —
+    ensemble seeds, capacity retries returning to a seen ladder rung —
+    get the SAME closure objects back, so the jitted integrators' static
+    fn arguments hit the jit cache instead of recompiling (measured round
+    3: per-seed re-jits of an unchanged capacity ladder cost ~250 s/seed
+    of the rung parity study over the remote compile service).  All three comoving solvers reduce to the Newtonian periodic
     force in comoving coordinates scaled by 1/a (the Poisson amplitudes
     (3/2) Om H0^2 / a and 4 pi G rho_mean_com / a are identical because
     rho_crit = 3 H0^2 / (8 pi G)).
@@ -133,11 +139,12 @@ def build_cosmo_force(config: SimulationConfig, checked: bool = False) -> Callab
     return p3m_fn
 
 
+@functools.lru_cache(maxsize=64)
 def build_cosmo_force_split(config: SimulationConfig):
     """(long_fn, short_fn) halves of the P3M canonical-momentum force for
     the subcycled integrator: ``long_fn(pos, mass, a) -> g`` (mesh far
     field), ``short_fn(pos, mass, a) -> (g, overflow)`` (pair
-    correction, checked protocol)."""
+    correction, checked protocol).  Memoized — see build_cosmo_force."""
     if config.solver != "p3m":
         raise ValueError("subcycling applies to the p3m solver only")
     box, eps, G = config.box, config.eps, units.COSMO.G
@@ -169,12 +176,14 @@ def build_cosmo_force_split(config: SimulationConfig):
     return long_fn, short_fn
 
 
+@functools.lru_cache(maxsize=64)
 def build_cosmo_force_rungs(config: SimulationConfig):
     """(long_fn, short_fn, masked_fn) triple for the per-particle rung
     integrator (:func:`nbody.integrate.cosmo_stepping.
     run_cosmological_rungs`).  ``masked_fn(pos, mass, active, a) ->
     (g, ov_source, ov_target)`` evaluates the short force only for the
-    ``active`` targets via the two-plane cell kernel."""
+    ``active`` targets via the two-plane cell kernel.  Memoized — see
+    build_cosmo_force."""
     from nbody.forces.p3m import (
         p3m_short_cells_pallas_masked,
         p3m_short_params,
@@ -193,16 +202,19 @@ def build_cosmo_force_rungs(config: SimulationConfig):
         box, config.mesh_size, config.n_particles
     )
     capacity = config.cell_capacity or auto_cap
-    target_capacity = config.rung_capacity or 64
+    # auto target capacity = one full 128 lane: the kernel lane-aligns
+    # K_i = ceil(capacity/128)*128 anyway, so any capacity below 128
+    # costs the same kernel work and just overflows earlier
+    target_capacity = config.rung_capacity or 128
 
     def masked_fn(pos, mass, act, a):
-        g, ov_s, ov_t = p3m_short_cells_pallas_masked(
+        g, ov_s, ov_t, occ_t = p3m_short_cells_pallas_masked(
             pos, mass, act, box, eps, r_s, r_cut, G=G,
             ncell=ncell, capacity=capacity,
             target_capacity=target_capacity,
             split=config.force_split, softening=config.softening_kernel,
         )
-        return g / jnp.asarray(a, pos.dtype), ov_s, ov_t
+        return g / jnp.asarray(a, pos.dtype), ov_s, ov_t, occ_t
 
     return long_fn, short_fn, masked_fn
 
@@ -664,6 +676,20 @@ def run_simulation(
             )
             cfg_run = cfg_run.replace(**{cap_field: needed})
             rebuild_forces()
+        if rungs and rung_occ_seen:
+            # target-plane capacity from the densest ACTIVE bucket the
+            # last segment actually saw (returned by the rung scan) —
+            # 35% margin anticipates rung-population growth within the
+            # coming segment; an in-scan target overflow would cost a
+            # re-jit plus a full segment re-run
+            needed_t = -(-int(rung_occ_seen * 1.35 + 4) // 128) * 128
+            if needed_t > (cfg_run.rung_capacity or 128):
+                log(
+                    f"pre-warming rung target capacity to {needed_t} "
+                    f"(densest active bucket {rung_occ_seen})"
+                )
+                cfg_run = cfg_run.replace(rung_capacity=needed_t)
+                rebuild_forces()
 
     def with_capacity_retry(run_fn, st):
         """Run one segment; on in-scan bucket overflow, double the cell
@@ -695,7 +721,7 @@ def run_simulation(
                 return new_state
             attempts -= 1
             if ovt:
-                new_rcap = 2 * (cfg_run.rung_capacity or 64)
+                new_rcap = 2 * (cfg_run.rung_capacity or 128)
                 log(
                     f"rung target-plane overflow ({ovt} particles) — "
                     f"doubling rung capacity to {new_rcap}, re-running "
@@ -757,6 +783,7 @@ def run_simulation(
         return run_fn
 
     seg_hists: list = []  # per-step rung populations of the last segment
+    rung_occ_seen = 0  # densest active-target bucket of the last segment
 
     def seg_rungs(prev, idx):
         """Per-particle rung segment (CONCEPT's scheme on the fixed
@@ -765,7 +792,8 @@ def run_simulation(
         from nbody.integrate.cosmo_stepping import run_cosmological_rungs
 
         def run_fn(st, fn, sfns):
-            new, ov, ovt, hists = run_cosmological_rungs(
+            nonlocal rung_occ_seen
+            new, ov, ovt, occt, hists = run_cosmological_rungs(
                 st, cosmo, a_grid[prev : idx + 1],
                 rung_fns[0], rung_fns[1], rung_fns[2],
                 config.box, rungs, config.box / config.mesh_size,
@@ -775,6 +803,7 @@ def run_simulation(
             jax.block_until_ready(new.pos)
             seg_hists.clear()
             seg_hists.extend(np.asarray(hists))
+            rung_occ_seen = int(occt)
             return new, int(ov), int(ovt)
 
         return run_fn

@@ -787,10 +787,13 @@ def p3m_short_cells_pallas_masked(
     full SOURCE plane — so kernel work scales with K_target * K_source
     instead of K_source^2.  Non-target rows come back exactly 0.
 
-    Returns (acc (N, 3), overflow_source, overflow_target): source- and
-    target-plane bucket spills are reported separately so the driver's
-    self-heal can double the right capacity (the target plane is
-    deliberately much smaller).
+    Returns (acc (N, 3), overflow_source, overflow_target,
+    occupancy_target): source- and target-plane bucket spills are
+    reported separately so the driver's self-heal can double the right
+    capacity (the target plane is deliberately much smaller), and the
+    densest target bucket's TRUE occupancy lets the driver pre-warm the
+    target capacity for the NEXT segment instead of paying an in-scan
+    overflow (re-jit + segment re-run) when populations grow.
     """
     if box / ncell < r_cut - 1e-9:
         raise ValueError(f"cell size {box / ncell:.3f} < r_cut {r_cut:.3f}")
@@ -804,6 +807,14 @@ def p3m_short_cells_pallas_masked(
     plane_i, ov_i, K_i, gidx = build_padded_plane(
         pos, mass, box, r_cut, ncell, target_capacity, valid=target
     )
+    # densest ACTIVE bucket (one O(N) bincount; sentinel bin dropped)
+    s = jnp.mod(pos, box) * (ncell / box)
+    c = jnp.clip(s.astype(jnp.int32), 0, ncell - 1)
+    cid = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
+    cid = jnp.where(target, cid, ncell**3)
+    occ_i = jnp.bincount(cid, length=ncell**3 + 1)[:-1].max().astype(
+        jnp.int32
+    )
     out = run_cell_plane(
         plane_i, nx=ncell, ncell=ncell, K=K_i, eps2=float(eps) ** 2,
         r_s=r_s, r_cut=r_cut, split=split, softening=softening,
@@ -813,7 +824,7 @@ def p3m_short_cells_pallas_masked(
         [out[:3].reshape(3, M**3 * K_i).T, jnp.zeros((1, 3), dtype)], axis=0
     )
     acc = acc_buckets[gidx]
-    return G * acc.astype(pos.dtype), ov_j, ov_i
+    return G * acc.astype(pos.dtype), ov_j, ov_i, occ_i
 
 
 def p3m_cell_overflow(pos, box: float, nmesh: int, capacity: int | None = None) -> int:

@@ -506,9 +506,11 @@ def run_cosmological_rungs(
 
     ``acc_long_fn(pos, mass, a) -> g``; ``acc_short_fn`` returns
     (g, overflow).  Returns (final_state, max_overflow:int32,
-    max_target_overflow:int32, rung_hists (n_steps, n_rungs)) — the
-    target channel tracks the (much smaller) active-plane capacity so
-    the driver self-heals the right one.
+    max_target_overflow:int32, max_target_occupancy:int32,
+    rung_hists (n_steps, n_rungs)) — the target channels track the
+    (much smaller) active-plane capacity so the driver self-heals the
+    right one and can pre-warm the next segment's target capacity from
+    the densest active bucket actually seen.
     """
     a_grid = np.asarray(a_grid, dtype=np.float64)
     n_steps = len(a_grid) - 1
@@ -578,15 +580,30 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
         pos = st.pos
         ov_s = jnp.int32(0)
         ov_t = jnp.int32(0)
+        occ_t = jnp.int32(0)
         gs_new = gs
         for j in range(1, n_sub + 1):
             pos = jnp.mod(pos + p * Dr[j - 1], box)
             if j < n_sub:
                 act = rung >= rung_active_min(j, n_rungs)
-                g, o, ot = acc_short_masked_fn(
-                    pos, st.mass, act, A_sub[j - 1]
+                # skip the masked kernel entirely while the active set is
+                # empty (early times: every particle sits on rung 0, so
+                # interior ticks would pay plane-build + kernel for
+                # nothing; lax.cond branches at run time on device)
+                g, o, ot, oc = jax.lax.cond(
+                    jnp.any(act),
+                    lambda pos=pos, act=act, j=j: acc_short_masked_fn(
+                        pos, st.mass, act, A_sub[j - 1]
+                    ),
+                    lambda: (
+                        jnp.zeros_like(st.pos),
+                        jnp.int32(0),
+                        jnp.int32(0),
+                        jnp.int32(0),
+                    ),
                 )
                 ov_t = jnp.maximum(ov_t, ot)
+                occ_t = jnp.maximum(occ_t, oc)
             else:
                 g, o = acc_short_fn(pos, st.mass, A_sub[j - 1])
                 gs_new = g
@@ -596,13 +613,17 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
         gl_new = acc_long_fn(pos, st.mass, a1)
         p = p + gl_new * kl2
         st = st.replace(pos=pos, vel=p, time=a1)
-        ovf, ovt = ov
+        ovf, ovt, occt = ov
         return (
             st, gl_new, gs_new,
-            (jnp.maximum(ovf, ov_s), jnp.maximum(ovt, ov_t)),
+            (
+                jnp.maximum(ovf, ov_s),
+                jnp.maximum(ovt, ov_t),
+                jnp.maximum(occt, occ_t),
+            ),
         ), hist
 
-    (final, _, _, (ovf, ovt)), hists = jax.lax.scan(
-        body, (state, gl0, gs0, (ov0, jnp.int32(0))), xs
+    (final, _, _, (ovf, ovt, occt)), hists = jax.lax.scan(
+        body, (state, gl0, gs0, (ov0, jnp.int32(0), jnp.int32(0))), xs
     )
-    return final, ovf, ovt, hists
+    return final, ovf, ovt, occt, hists

@@ -46,6 +46,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--adaptive-check", action="store_true")
+    ap.add_argument(
+        "--rungs", type=int, default=0,
+        help="run the per-particle rung tier (config.rungs=R) instead of "
+        "uniform 4x subcycling; writes rungs_summary.json + "
+        "powerspec_a=1.00_rungs_seed{S} so the subcycled artifacts stay "
+        "pinned",
+    )
     args = ap.parse_args()
 
     from nbody.driver.config import OutputConfig, SimulationConfig
@@ -59,7 +66,9 @@ def main():
         # CONCEPT-matched physics: cubic-spline softening and 4x
         # short-range subcycling (the rung-subdivision analogue;
         # converged — 8x gives the same spectrum)
-        softening_kernel="spline", subcycles=4,
+        softening_kernel="spline",
+        subcycles=1 if args.rungs else 4,
+        rungs=args.rungs,
         output=OutputConfig(
             dir=OUT, snapshot_times=(1.0,), powerspec=False, snapshot=False,
             powerspec_bins=48,
@@ -71,14 +80,17 @@ def main():
         ),
     )
     os.makedirs(OUT, exist_ok=True)
+    tag = "_rungs" if args.rungs else ""
     rows = []
     for seed in range(args.seeds):
         t0 = time.time()
         res = run_simulation(
-            cfg, seed=seed, workdir="", checkpoint_every_steps=24
+            cfg, seed=seed,
+            workdir=os.path.join(OUT, "rungs_run") if args.rungs else "",
+            checkpoint_every_steps=24,
         )
         pos = res.state.pos
-        path = os.path.join(OUT, f"powerspec_a=1.00_seed{seed}")
+        path = os.path.join(OUT, f"powerspec_a=1.00{tag}_seed{seed}")
         k, modes, P, Pc, Pl = measure_powerspec(
             pos, cfg, a=1.0, path=path, seed=seed
         )
@@ -140,7 +152,16 @@ def main():
         }
         print(json.dumps(summary["adaptive"]))
 
-    with open(os.path.join(OUT, "summary.json"), "w") as f:
+    if args.rungs:
+        summary["rungs"] = args.rungs
+        logpath = os.path.join(OUT, "rungs_run", "run.log")
+        if os.path.exists(logpath):
+            pops = [ln.strip() for ln in open(logpath)
+                    if "Rung population" in ln]
+            summary["rung_population_first_last"] = [pops[0], pops[-1]] \
+                if pops else []
+    name = "rungs_summary.json" if args.rungs else "summary.json"
+    with open(os.path.join(OUT, name), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary["ours"]))
 

@@ -45,6 +45,64 @@ def timed(fn, *args, reps=3, label=""):
     return min(ts)
 
 
+def steps_mode(n_steps: int = 4, subcycles: int = 4):
+    """Full-KDK steps/sec at N = 2^20 (VERDICT round-2 item 8): times the
+    production subcycled split-Hamiltonian stepper — the dispatch-bound
+    regime the effective-rate headline can't see.  Prints ONE JSON line
+    {"steps_per_s": ...} so the verify drive can regression-guard it."""
+    import json
+
+    from nbody.core.cosmology import Cosmology
+    from nbody.core.types import ParticleState
+    from nbody.driver.config import SimulationConfig
+    from nbody.driver.simulate import build_cosmo_force_split
+    from nbody.integrate.cosmo_stepping import (
+        log_a_steps, run_cosmological_subcycled,
+    )
+
+    n = 1 << 20
+    box = 500.0
+    cfg = SimulationConfig(
+        n_side=round(n ** (1 / 3)), box=box, solver="p3m", pm_grid=128,
+        softening_kernel="spline", subcycles=subcycles,
+    )
+    rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    state = ParticleState(
+        pos=pos, vel=jnp.zeros_like(pos),
+        mass=jnp.ones((n,), jnp.float32),  # timing only; value is inert
+        time=jnp.float32(0.5),
+    )
+    cosmo = Cosmology()
+    long_fn, short_fn = build_cosmo_force_split(cfg)
+    a_grid = log_a_steps(0.5, 0.52, n_steps)
+
+    def run(st):
+        out = run_cosmological_subcycled(
+            st, cosmo, a_grid, long_fn, short_fn, box,
+            n_sub=subcycles,
+        )
+        return out
+
+    _sync(run(state)[0].pos)  # compile + warm
+    ts = []
+    for _ in range(2):
+        st = state.replace(
+            pos=jnp.mod(pos + jnp.asarray(
+                rng.uniform(1e-4, 1e-2), jnp.float32), box)
+        )
+        t0 = time.perf_counter()
+        out = run(st)
+        _sync(out[0].pos)
+        ts.append(time.perf_counter() - t0)
+    sps = n_steps / min(ts)
+    print(json.dumps({
+        "metric": f"full subcycled KDK steps/s, N={n}, {subcycles}x",
+        "steps_per_s": round(sps, 3),
+        "s_per_step": round(min(ts) / n_steps, 3),
+    }), flush=True)
+
+
 def main():
     from nbody.forces.p3m import (
         build_padded_plane, p3m_acc, p3m_short_params, run_cell_plane,
@@ -118,4 +176,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--steps" in sys.argv:
+        steps_mode()
+    else:
+        main()

@@ -62,12 +62,12 @@ def _force_fns(box, nmesh, eps=0.1):
 
     def short_masked_fn(pos, mass, act, a):
         r_s, r_cut, ncell, cap = p3m_short_params(box, nmesh, pos.shape[0])
-        g, ov_s, ov_t = p3m_short_cells_pallas_masked(
+        g, ov_s, ov_t, occ_t = p3m_short_cells_pallas_masked(
             pos, mass, act, box, eps, r_s, r_cut, G=u.COSMO.G,
             ncell=ncell, capacity=cap, target_capacity=cap,
             split="spline",
         )
-        return g / a, ov_s, ov_t
+        return g / a, ov_s, ov_t, occ_t
 
     return long_fn, short_fn, short_masked_fn
 
@@ -106,7 +106,7 @@ def test_single_rung_matches_subcycled():
     a_grid = log_a_steps(0.5, 0.6, 4)
     long_fn, short_fn, short_masked_fn = _force_fns(box, nmesh)
 
-    final, ov, ovt, hists = run_cosmological_rungs(
+    final, ov, ovt, occt, hists = run_cosmological_rungs(
         state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
         box, n_rungs=2, cell=box / nmesh, eta_disp=1e-9,
     )
@@ -134,7 +134,7 @@ def test_all_slow_matches_plain_kdk():
     a_grid = log_a_steps(0.5, 0.55, 3)
     long_fn, short_fn, short_masked_fn = _force_fns(box, nmesh)
 
-    final, ov, ovt, hists = run_cosmological_rungs(
+    final, ov, ovt, occt, hists = run_cosmological_rungs(
         state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
         box, n_rungs=2, cell=box / nmesh, eta_disp=1e9,
     )
@@ -159,7 +159,7 @@ def test_mixed_rungs_stay_close_to_uniform_subcycling():
     a_grid = log_a_steps(0.5, 0.6, 8)
     long_fn, short_fn, short_masked_fn = _force_fns(box, nmesh)
 
-    final, ov, ovt, hists = run_cosmological_rungs(
+    final, ov, ovt, occt, hists = run_cosmological_rungs(
         state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
         box, n_rungs=3, cell=box / nmesh, eta_disp=0.25,
     )
