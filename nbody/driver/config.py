@@ -96,6 +96,13 @@ class SimulationConfig:
     column_capacity: int = 0  # column-tier bucket capacity (particles
     # per (x, y) chaining column); 0 = auto + self-heal, like
     # cell_capacity but for shortrange='columns'
+    column_window: int = 0  # column-tier source z-window (slots per
+    # 256-particle chunk x 9 neighbour columns); 0 = auto heuristic
+    # (column_window()).  The driver pre-warms this from the measured
+    # z-run demand of the current state (clustered blobs need windows
+    # the capacity-scaled heuristic under-predicts — round-3 measured a
+    # capacity-doubling ladder thrash without it) and doubles it on
+    # overflow alongside the capacity.
     shortrange: str = "auto"  # P3M short-range tier: 'auto' (columns
     # beyond 64k particles) | 'columns' (z-sorted column kernel,
     # production — at parity with cells on uniform states, ~5x faster
@@ -133,7 +140,9 @@ class SimulationConfig:
     # like cell_capacity)
     time_stepping: str = "fixed"  # 'fixed' (log-a grid of n_steps) |
     # 'adaptive' (the run chooses its own steps like CONCEPT's adaptive
-    # integration — n_steps then caps the total; run.log gains
+    # integration — n_steps then caps the total; composes with `rungs`:
+    # adaptive background step + per-particle rung subdivision, the full
+    # CONCEPT integrator structure; run.log gains
     # "Rung population" lines)
     step_dla_max: float = 0.03  # adaptive: background Delta(ln a) cap
     # (~0.0276 reproduces CONCEPT's ~142 steps over a=0.02->1)

@@ -129,6 +129,7 @@ def build_cosmo_force(config: SimulationConfig, checked: bool = False) -> Callab
             split=config.force_split, shortrange=config.shortrange,
             softening=config.softening_kernel,
             capacity=tier_cap,
+            window=config.column_window or None,
             with_overflow=checked,
         )
         if checked:
@@ -158,6 +159,7 @@ def build_cosmo_force_split(config: SimulationConfig):
             split=config.force_split, shortrange=config.shortrange,
             softening=config.softening_kernel,
             capacity=tier_cap,
+            window=config.column_window or None,
             part="long",
         )
         return acc / jnp.asarray(a, pos.dtype)
@@ -169,6 +171,7 @@ def build_cosmo_force_split(config: SimulationConfig):
             split=config.force_split, shortrange=config.shortrange,
             softening=config.softening_kernel,
             capacity=tier_cap,
+            window=config.column_window or None,
             with_overflow=True, part="short",
         )
         return acc / jnp.asarray(a, pos.dtype), ov
@@ -191,12 +194,13 @@ def build_cosmo_force_rungs(config: SimulationConfig):
 
     if config.solver != "p3m":
         raise ValueError("rung stepping applies to the p3m solver only")
-    # the rung tier rides the CELLS kernel throughout (its masked
-    # two-plane form shares the cell geometry); the columns tier is the
-    # non-rung production default
-    long_fn, short_fn = build_cosmo_force_split(
-        config.replace(shortrange="cells")
-    )
+    # BOUNDARY ticks ride the config's resolved short-range tier
+    # (columns beyond 64k — measured 4.7x faster than cells on clustered
+    # states, and the boundary full-short is the late-time cost center);
+    # interior masked ticks ride the CELLS kernel, whose two-plane
+    # masked form shares the cell geometry.  Their overflows return on
+    # separate channels so the driver heals the right knob.
+    long_fn, short_fn = build_cosmo_force_split(config)
     box, eps, G = config.box, config.eps, units.COSMO.G
     r_s, r_cut, ncell, auto_cap = p3m_short_params(
         box, config.mesh_size, config.n_particles
@@ -498,11 +502,6 @@ def run_simulation(
     if rungs >= 2:
         if config.solver != "p3m":
             raise ValueError("rungs requires the p3m solver")
-        if adaptive:
-            raise ValueError(
-                "rungs composes with fixed stepping (the adaptive chooser "
-                "already subdivides via subcycles)"
-            )
     else:
         rungs = 0
     rung_fns = build_cosmo_force_rungs(cfg_run) if rungs else None
@@ -591,9 +590,10 @@ def run_simulation(
         else:
             print(f"[run] {msg}", flush=True)
 
-    # the rung tier rides the cells kernel regardless of the resolved
-    # default tier (see build_cosmo_force_rungs)
-    tier = "cells" if rungs else _resolved_shortrange(config)
+    # boundary/full short-range tier; the rung tier's masked interior
+    # kernel additionally rides the cells geometry (cell_capacity) with
+    # its own overflow channel (see build_cosmo_force_rungs)
+    tier = _resolved_shortrange(config)
     cap_field = "column_capacity" if tier == "columns" else "cell_capacity"
 
     def current_capacity() -> int:
@@ -657,9 +657,59 @@ def run_simulation(
             # per-COLUMN occupancy (the column tier's bucket unit)
             cid = c[:, 0] * ncell + c[:, 1]
             occ = int(np.bincount(cid, minlength=ncell**2).max())
+            # z-WINDOW demand: a 256-chunk's sources live within
+            # +- r_cut in z of the 9 neighbour columns, i.e. at most a
+            # 3-cell z-run of the densest neighbourhood.  The
+            # capacity-scaled heuristic under-predicts this for
+            # clustered blobs (measured round 3: a 896->1792->3584
+            # capacity ladder with ov_window NEVER shrinking) — measure
+            # it instead and pre-warm config.column_window.
+            cid3 = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
+            cnt3 = np.bincount(cid3, minlength=ncell**3).reshape(
+                ncell, ncell, ncell
+            )
+            run3 = cnt3 + np.roll(cnt3, 1, axis=2) + np.roll(
+                cnt3, -1, axis=2
+            )
+            zrun = int(run3.max())
+            from nbody.forces.p3m_columns import column_window as _cw
+
+            # 256-slot chunk scaled 1.15x for cross-column density
+            # ratio (a chunk's z-span maps to MORE slots in a denser
+            # neighbour column) + the measured 3-cell z-run + alignment
+            needed_w = -(-int(295 + 1.25 * zrun + 260) // 128) * 128
+            cur_w = cfg_run.column_window or _cw(
+                config.box, r_cut, current_capacity()
+            )
+            if needed_w > cur_w:
+                log(
+                    f"pre-warming column z-window to {needed_w} "
+                    f"(densest 3-cell z-run {zrun})"
+                )
+                cfg_run = cfg_run.replace(column_window=needed_w)
+                rebuild_forces()
         else:
             cid = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
             occ = int(np.bincount(cid, minlength=ncell**3).max())
+        if rungs and tier == "columns":
+            # the masked interior kernel's SOURCE plane rides the cells
+            # geometry regardless of the boundary tier — pre-warm its
+            # cell_capacity from the densest CELL too
+            cid3 = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
+            occ3 = int(np.bincount(cid3, minlength=ncell**3).max())
+            needed3 = -(-int(occ3 * 1.10 + 4) // 128) * 128
+            from nbody.forces.p3m import p3m_short_params as _psp
+
+            cur3 = cfg_run.cell_capacity or _psp(
+                config.box, config.mesh_size, config.n_particles
+            )[3]
+            if needed3 > cur3:
+                log(
+                    f"pre-warming P3M cell capacity to {needed3} "
+                    f"(densest cell {occ3}; masked-kernel source plane)"
+                )
+                cfg_run = cfg_run.replace(cell_capacity=needed3)
+                rebuild_forces()
         # snap to the next 128-lane quantum: the Pallas bucket width is
         # K = ceil(capacity/128)*128, so any headroom within the quantum
         # is free and crossing it early would cost ~4x kernel work.
@@ -715,9 +765,14 @@ def run_simulation(
                 log("backend recovered — re-running segment")
                 continue
             new_state, ov = res[0], res[1]
-            # third channel (rung tier): active-target-plane overflow
+            # extra channels (rung tier): active-target-plane overflow
+            # and the masked kernel's source-plane (cells) overflow
             ovt = res[2] if len(res) > 2 else 0
-            if ov == 0 and ovt == 0:
+            ovm = res[3] if len(res) > 3 else 0
+            if cap_field == "cell_capacity":
+                # boundary and masked-source share the knob — one heal
+                ov, ovm = max(ov, ovm), 0
+            if ov == 0 and ovt == 0 and ovm == 0:
                 return new_state
             attempts -= 1
             if ovt:
@@ -728,14 +783,61 @@ def run_simulation(
                     f"segment"
                 )
                 cfg_run = cfg_run.replace(rung_capacity=new_rcap)
-            if ov:
+            if ovm:
+                from nbody.forces.p3m import p3m_short_params as _psp
+
+                new_ccap = 2 * (
+                    cfg_run.cell_capacity
+                    or _psp(config.box, config.mesh_size,
+                            config.n_particles)[3]
+                )
+                log(
+                    f"masked-kernel source-plane overflow ({ovm} "
+                    f"particles) — doubling cell capacity to {new_ccap}, "
+                    f"re-running segment"
+                )
+                cfg_run = cfg_run.replace(cell_capacity=new_ccap)
+            if ov and tier == "columns" and (ov >> 16) == 0:
+                # columns overflow with an empty bucket field = pure
+                # z-WINDOW misses — widen the window (+50%, a much
+                # cheaper work increase than doubling the capacity).
+                # p3m_acc clamps the window to the column stride, so
+                # over-widening degrades to a full-column scan, never an
+                # error.
+                from nbody.forces.p3m import p3m_short_params as _psp2
+                from nbody.forces.p3m_columns import column_window as _cw
+
+                cur_w = cfg_run.column_window or _cw(
+                    config.box,
+                    _psp2(config.box, config.mesh_size,
+                          config.n_particles)[1],
+                    current_capacity(),
+                )
+                new_w = -(-int(1.5 * cur_w) // 128) * 128
+                log(
+                    f"column z-window misses inside scan ({ov & 0xffff} "
+                    f"slots) — widening z-window to {new_w}, re-running "
+                    f"segment"
+                )
+                cfg_run = cfg_run.replace(column_window=new_w)
+            elif ov:
                 new_cap = 2 * current_capacity()
+                if tier == "columns":
+                    ov = ov >> 16  # decoded bucket/ghost field
                 log(
                     f"P3M bucket overflow inside scan ({ov} particles) — "
                     f"doubling {cap_field.replace('_', ' ')} to "
                     f"{new_cap}, re-running segment"
                 )
                 cfg_run = cfg_run.replace(**{cap_field: new_cap})
+                if tier == "columns" and cfg_run.column_window:
+                    # keep the explicit window in step with the larger
+                    # buckets
+                    cfg_run = cfg_run.replace(
+                        column_window=-(
+                            -int(1.5 * cfg_run.column_window) // 128
+                        ) * 128
+                    )
             rebuild_forces()
         raise RuntimeError(
             "P3M cell capacity retries exhausted — state too clustered"
@@ -745,23 +847,41 @@ def run_simulation(
     _runner_cache: dict = {}
 
     def get_adaptive_runner(fn, sfns):
-        """Adaptive runner, cached on the (acc_fn, split_fns) identity:
+        """Adaptive runner, cached on the force-closure identity:
         construction re-jits (30-300 s over the remote compile service),
         so rebuild only when a capacity re-jit actually changed the
         force closures — not on every segment."""
-        key = (fn, sfns)
+        key = (fn, sfns, rung_fns)
         runner = _runner_cache.get(key)
         if runner is None:
             cell = config.box / config.mesh_size
-            runner = make_adaptive_cosmo_runner(
-                cosmo, fn, config.box, cell,
-                dla_max=config.step_dla_max,
-                eta_disp=config.step_eta_disp,
-                # chunked dispatches (TPU relay limit)
-                max_steps=max(4, 32 // max(1, config.subcycles)),
-                split_fns=sfns,
-                n_sub=config.subcycles,
-            )
+            if rungs:
+                # CONCEPT's actual structure: adaptive background step
+                # + per-particle rung subdivision
+                from nbody.integrate.cosmo_stepping import (
+                    make_adaptive_rung_runner,
+                )
+
+                runner = make_adaptive_rung_runner(
+                    cosmo, rung_fns[0], rung_fns[1], rung_fns[2],
+                    config.box, cell,
+                    dla_max=config.step_dla_max,
+                    eta_disp=config.step_eta_disp,
+                    eta_acc=config.step_eta_acc, eps=config.eps,
+                    # chunked dispatches (TPU relay limit)
+                    max_steps=max(2, 32 // n_sub_eff),
+                    n_rungs=rungs,
+                )
+            else:
+                runner = make_adaptive_cosmo_runner(
+                    cosmo, fn, config.box, cell,
+                    dla_max=config.step_dla_max,
+                    eta_disp=config.step_eta_disp,
+                    # chunked dispatches (TPU relay limit)
+                    max_steps=max(4, 32 // max(1, config.subcycles)),
+                    split_fns=sfns,
+                    n_sub=config.subcycles,
+                )
             _runner_cache.clear()  # stale closures never come back
             _runner_cache[key] = runner
         return runner
@@ -793,7 +913,7 @@ def run_simulation(
 
         def run_fn(st, fn, sfns):
             nonlocal rung_occ_seen
-            new, ov, ovt, occt, hists = run_cosmological_rungs(
+            new, ovb, ovm, ovt, occt, hists = run_cosmological_rungs(
                 st, cosmo, a_grid[prev : idx + 1],
                 rung_fns[0], rung_fns[1], rung_fns[2],
                 config.box, rungs, config.box / config.mesh_size,
@@ -804,7 +924,7 @@ def run_simulation(
             seg_hists.clear()
             seg_hists.extend(np.asarray(hists))
             rung_occ_seen = int(occt)
-            return new, int(ov), int(ovt)
+            return new, int(ovb), int(ovt), int(ovm)
 
         return run_fn
 
@@ -825,13 +945,21 @@ def run_simulation(
         # "Time step NNNN" log numbering
 
         def run_fn(st, fn, sfns):
-            nonlocal n_steps_total
+            nonlocal n_steps_total, rung_occ_seen
             n_steps_total = n_entry
             runner = get_adaptive_runner(fn, sfns)
             while float(st.time) < a_hi * (1.0 - 1e-9):
-                st, n, ov, dla, hist = runner(
-                    st, jnp.asarray(a_hi, st.pos.dtype)
-                )
+                if rungs:
+                    st, n, ov, ovm, ovt, occt, dla, hist = runner(
+                        st, jnp.asarray(a_hi, st.pos.dtype)
+                    )
+                    rung_occ_seen = max(rung_occ_seen, int(occt))
+                    if int(ovt) or int(ovm):
+                        return st, int(ov), int(ovt), int(ovm)
+                else:
+                    st, n, ov, dla, hist = runner(
+                        st, jnp.asarray(a_hi, st.pos.dtype)
+                    )
                 n = int(n)
                 if int(ov):
                     return st, int(ov)

@@ -257,6 +257,7 @@ def p3m_acc(
     split: str = "gaussian",
     softening: str = "plummer",
     capacity: int | None = None,
+    window: int | None = None,
     with_overflow: bool = False,
     part: str = "both",
 ):
@@ -322,12 +323,20 @@ def p3m_acc(
             p3m_short_columns_pallas,
         )
 
+        from nbody.forces.p3m_columns import ghost_slots
+
         _, _, ncell_c, auto_ck, _ = column_params(box, nmesh, n)
         ck = capacity if capacity is not None else auto_ck
+        # explicit window (driver prewarm/self-heal sets it from the
+        # measured z-run demand — clustered columns need windows the
+        # capacity-scaled heuristic can't predict), clamped to the
+        # column stride
+        CK = -(-ck // 128) * 128
+        w = window if window else column_window(box, float(r_cut), ck)
+        w = min(w, CK + 2 * ghost_slots(CK))
         acc_short, overflow = p3m_short_columns_pallas(
             pos, mass, box, float(eps), float(r_s), float(r_cut), G=G,
-            ncell=ncell_c, col_capacity=ck,
-            window=column_window(box, float(r_cut), ck),
+            ncell=ncell_c, col_capacity=ck, window=w,
             split=split, softening=softening,
         )
     elif shortrange == "cells":

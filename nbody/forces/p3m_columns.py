@@ -237,20 +237,29 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
         fj = fence[nc]  # (ncol, nf_fence)
         qlo = (zmin - r_cut)[:, :, None]           # (ncol, maxch, 1)
         qhi = (zmax + r_cut)[:, :, None]
-        # start = block before the first fence exceeding qlo
+        # start = block before the first fence exceeding qlo; slots
+        # before it all have z <= fence <= qlo, so the low side never
+        # truly misses
         cnt_lo = jnp.sum(fj[:, None, :] <= qlo, axis=-1)
         start = jnp.clip(
             (jnp.maximum(cnt_lo - 1, 0)) * 128, 0, stride - W
         ).astype(jnp.int32)
-        # hi upper bound: all slots with z < qhi live in blocks whose
-        # fence is < qhi
-        hi_ub = jnp.sum(fj[:, None, :] < qhi, axis=-1) * 128
+        # hi side: count TRUE misses (exact per-slot comparison, not the
+        # fence bound — the <=128/side fence slack read as phantom
+        # overflow on overflow-free states and triggered needless
+        # capacity-doubling re-jits, measured round 3)
+        hi_exact = jnp.sum(zcols[nc][:, None, :] < qhi, axis=-1)
         ov_w = ov_w + jnp.sum(
-            jnp.where(chunk_ok, jnp.maximum(hi_ub - start - W, 0), 0)
+            jnp.where(
+                chunk_ok, jnp.maximum(hi_exact - (start + W), 0), 0
+            )
         ).astype(jnp.int32)
         ws_list.append(start)
     ws = jnp.stack(ws_list, axis=1).reshape(ncol * 9 * maxch)  # (ncol,9,maxch)
-    ov_w = ov_w + ov_g
+    # ghost-capacity demand heals via col_capacity (gz scales with CK),
+    # NOT via the window — report it on the bucket channel so the
+    # driver's staged heal widens the right knob first
+    overflow_b = overflow_b + ov_g
 
     # ---- xy ghost ring -------------------------------------------------
     grid4 = buf.reshape(ncell, ncell, stride, 4)
@@ -358,10 +367,11 @@ def p3m_short_columns_pallas(
 
     Same physics/geometry as :func:`nbody.forces.p3m.
     p3m_short_cells_pallas` with ~4x less slot-pair work (see module
-    docstring).  Returns (acc (N, 3), overflow) where overflow combines
-    column-bucket spills and z-window spills — either drops force, both
-    trigger the driver self-heal (which doubles col_capacity; the window
-    scales with it).
+    docstring).  Returns (acc (N, 3), overflow) with overflow == 0 iff
+    no force was dropped; nonzero values are field-encoded
+    (bucket+ghost spills * 65536 + z-window misses) so the driver's
+    staged self-heal can tell which knob to grow — col_capacity for the
+    high field, column_window for the low.
     """
     if box / ncell < r_cut - 1e-9:
         raise ValueError(f"column size {box / ncell:.3f} < r_cut {r_cut:.3f}")
@@ -420,4 +430,11 @@ def p3m_short_columns_pallas(
         axis=0,
     )
     acc = acc_buckets[gidx]
-    return G * acc.astype(pos.dtype), ov_b + ov_w
+    # single-int overflow, field-encoded so the driver heals the right
+    # knob: bucket/ghost spills (heal = col_capacity) ride the high
+    # bits, z-window misses (heal = column_window) the low 16.  Zero
+    # still means clean, and max() over scan steps prefers any
+    # bucket-overflow step over window-only ones — the heal order the
+    # driver wants.
+    ov = jnp.minimum(ov_b, 32767) * 65536 + jnp.minimum(ov_w, 65535)
+    return G * acc.astype(pos.dtype), ov

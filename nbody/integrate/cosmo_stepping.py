@@ -505,12 +505,14 @@ def run_cosmological_rungs(
     trailing force is reused as the next step's leading one.
 
     ``acc_long_fn(pos, mass, a) -> g``; ``acc_short_fn`` returns
-    (g, overflow).  Returns (final_state, max_overflow:int32,
-    max_target_overflow:int32, max_target_occupancy:int32,
-    rung_hists (n_steps, n_rungs)) — the target channels track the
-    (much smaller) active-plane capacity so the driver self-heals the
-    right one and can pre-warm the next segment's target capacity from
-    the densest active bucket actually seen.
+    (g, overflow).  Returns (final_state, max_boundary_overflow:int32,
+    max_masked_source_overflow:int32, max_target_overflow:int32,
+    max_target_occupancy:int32, rung_hists (n_steps, n_rungs)) — the
+    three overflow channels map to three distinct capacity knobs
+    (boundary-tier bucket / masked source plane / active-target plane)
+    so the driver self-heals the right one, and the target occupancy
+    lets it pre-warm the next segment instead of paying an in-scan
+    overflow.
     """
     a_grid = np.asarray(a_grid, dtype=np.float64)
     n_steps = len(a_grid) - 1
@@ -536,6 +538,90 @@ def run_cosmological_rungs(
     )
 
 
+def _rung_demand(vel, gl, gs, a0, cell, eta_disp, eta_acc_eps2,
+                 H0, Om, OL):
+    """Per-particle step demand dla_i: displacement AND acceleration
+    criteria (dt <= eta_disp cell / |dx/dt|, dt <= sqrt(2 eta_acc eps a /
+    |g|); g = dp/dt carried from the previous step)."""
+    H = H0 * jnp.sqrt(Om / a0**3 + OL)
+    speed = jnp.linalg.norm(vel, axis=-1)
+    dla_disp = eta_disp * cell * a0**2 * H / jnp.maximum(speed, 1e-30)
+    gmag = jnp.linalg.norm(gl + gs, axis=-1)
+    dla_acc = jnp.where(
+        eta_acc_eps2 > 0,
+        H * jnp.sqrt(eta_acc_eps2 * a0 / jnp.maximum(gmag, 1e-30)),
+        jnp.inf,
+    )
+    return jnp.minimum(dla_disp, dla_acc)
+
+
+def _assign_rungs(dla_i, dla_step, n_rungs):
+    """Rung r wants the global step / 2^r: r = ceil(log2(step/demand))."""
+    return jnp.clip(
+        jnp.ceil(jnp.log2(dla_step / jnp.maximum(dla_i, 1e-30))),
+        0, n_rungs - 1,
+    ).astype(jnp.int32)
+
+
+def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
+                     acc_short_fn, acc_short_masked_fn):
+    """One global KDK step with per-particle rung short-range kicks.
+
+    ``x = (a0, a1, kl1, kl2, Fk, Dr, A_sub)`` — long half-kick factors
+    plus the per-tick rung kick tables (host tables from
+    :func:`rung_kick_tables` on the fixed grid, or their on-device
+    equivalent from :func:`_rung_tables_device` under the adaptive
+    chooser).  Returns (st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t) —
+    BOUNDARY-tick overflow (``acc_short_fn``, which may ride a different
+    short-range tier, e.g. columns) is reported separately from the
+    masked kernel's SOURCE-plane overflow so the driver self-heals the
+    right capacity knob."""
+    a0, a1, kl1, kl2, Fk, Dr, A_sub = x
+    n_sub = 2 ** (n_rungs - 1)
+
+    p = st.vel + gl * kl1                      # long opening half-kick
+    p = p + gs * Fk[0][rung][:, None]          # tick-0 short kicks
+    pos = st.pos
+    ov_b = jnp.int32(0)
+    ov_s = jnp.int32(0)
+    ov_t = jnp.int32(0)
+    occ_t = jnp.int32(0)
+    gs_new = gs
+    for j in range(1, n_sub + 1):
+        pos = jnp.mod(pos + p * Dr[j - 1], box)
+        if j < n_sub:
+            act = rung >= rung_active_min(j, n_rungs)
+            # skip the masked kernel entirely while the active set is
+            # empty (early times: every particle sits on rung 0, so
+            # interior ticks would pay plane-build + kernel for
+            # nothing; lax.cond branches at run time on device)
+            g, o, ot, oc = jax.lax.cond(
+                jnp.any(act),
+                lambda pos=pos, act=act, j=j: acc_short_masked_fn(
+                    pos, st.mass, act, A_sub[j - 1]
+                ),
+                lambda: (
+                    jnp.zeros_like(st.pos),
+                    jnp.int32(0),
+                    jnp.int32(0),
+                    jnp.int32(0),
+                ),
+            )
+            ov_t = jnp.maximum(ov_t, ot)
+            occ_t = jnp.maximum(occ_t, oc)
+            ov_s = jnp.maximum(ov_s, o)
+        else:
+            g, o = acc_short_fn(pos, st.mass, A_sub[j - 1])
+            gs_new = g
+            ov_b = jnp.maximum(ov_b, o)
+        p = p + g * Fk[j][rung][:, None]
+
+    gl_new = acc_long_fn(pos, st.mass, a1)
+    p = p + gl_new * kl2
+    st = st.replace(pos=pos, vel=p, time=a1)
+    return st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -546,7 +632,6 @@ def run_cosmological_rungs(
 def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
                     acc_short_masked_fn, n_rungs, cell, eta_disp,
                     eta_acc_eps2, cosmo):
-    n_sub = 2 ** (n_rungs - 1)
     H0, Om, OL = float(cosmo.H0), float(cosmo.Omega_m), float(cosmo.Omega_L)
 
     gl0 = acc_long_fn(state.pos, state.mass, state.time)
@@ -554,76 +639,191 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
 
     def body(carry, x):
         st, gl, gs, ov = carry
-        a0, a1, kl1, kl2, Fk, Dr, A_sub = x
+        a0, a1 = x[0], x[1]
 
-        # rung assignment: displacement AND acceleration demand at step
-        # start (dt <= sqrt(2 eta_acc eps a / |g|); g = dp/dt carried)
-        H = H0 * jnp.sqrt(Om / a0**3 + OL)
-        speed = jnp.linalg.norm(st.vel, axis=-1)
-        dla_disp = eta_disp * cell * a0**2 * H / jnp.maximum(speed, 1e-30)
-        gmag = jnp.linalg.norm(gl + gs, axis=-1)
-        dla_acc = jnp.where(
-            eta_acc_eps2 > 0,
-            H * jnp.sqrt(eta_acc_eps2 * a0 / jnp.maximum(gmag, 1e-30)),
-            jnp.inf,
-        )
-        dla_i = jnp.minimum(dla_disp, dla_acc)
-        dla_step = jnp.log(a1) - jnp.log(a0)
-        rung = jnp.clip(
-            jnp.ceil(jnp.log2(dla_step / jnp.maximum(dla_i, 1e-30))),
-            0, n_rungs - 1,
-        ).astype(jnp.int32)
+        dla_i = _rung_demand(st.vel, gl, gs, a0, cell, eta_disp,
+                             eta_acc_eps2, H0, Om, OL)
+        rung = _assign_rungs(dla_i, jnp.log(a1) - jnp.log(a0), n_rungs)
         hist = jnp.bincount(rung, length=n_rungs).astype(jnp.int32)
 
-        p = st.vel + gl * kl1                      # long opening half-kick
-        p = p + gs * Fk[0][rung][:, None]          # tick-0 short kicks
-        pos = st.pos
-        ov_s = jnp.int32(0)
-        ov_t = jnp.int32(0)
-        occ_t = jnp.int32(0)
-        gs_new = gs
-        for j in range(1, n_sub + 1):
-            pos = jnp.mod(pos + p * Dr[j - 1], box)
-            if j < n_sub:
-                act = rung >= rung_active_min(j, n_rungs)
-                # skip the masked kernel entirely while the active set is
-                # empty (early times: every particle sits on rung 0, so
-                # interior ticks would pay plane-build + kernel for
-                # nothing; lax.cond branches at run time on device)
-                g, o, ot, oc = jax.lax.cond(
-                    jnp.any(act),
-                    lambda pos=pos, act=act, j=j: acc_short_masked_fn(
-                        pos, st.mass, act, A_sub[j - 1]
-                    ),
-                    lambda: (
-                        jnp.zeros_like(st.pos),
-                        jnp.int32(0),
-                        jnp.int32(0),
-                        jnp.int32(0),
-                    ),
-                )
-                ov_t = jnp.maximum(ov_t, ot)
-                occ_t = jnp.maximum(occ_t, oc)
-            else:
-                g, o = acc_short_fn(pos, st.mass, A_sub[j - 1])
-                gs_new = g
-            p = p + g * Fk[j][rung][:, None]
-            ov_s = jnp.maximum(ov_s, o)
-
-        gl_new = acc_long_fn(pos, st.mass, a1)
-        p = p + gl_new * kl2
-        st = st.replace(pos=pos, vel=p, time=a1)
-        ovf, ovt, occt = ov
+        st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t = _rung_block_step(
+            st, gl, gs, rung, x, box, n_rungs,
+            acc_long_fn, acc_short_fn, acc_short_masked_fn,
+        )
+        ovb, ovm, ovt, occt = ov
         return (
             st, gl_new, gs_new,
             (
-                jnp.maximum(ovf, ov_s),
+                jnp.maximum(ovb, ov_b),
+                jnp.maximum(ovm, ov_s),
                 jnp.maximum(ovt, ov_t),
                 jnp.maximum(occt, occ_t),
             ),
         ), hist
 
-    (final, _, _, (ovf, ovt, occt)), hists = jax.lax.scan(
-        body, (state, gl0, gs0, (ov0, jnp.int32(0), jnp.int32(0))), xs
+    (final, _, _, (ovb, ovm, ovt, occt)), hists = jax.lax.scan(
+        body,
+        (state, gl0, gs0,
+         (ov0, jnp.int32(0), jnp.int32(0), jnp.int32(0))),
+        xs,
     )
-    return final, ovf, ovt, occt, hists
+    return final, ovb, ovm, ovt, occt, hists
+
+
+def _gl_int(f, lo, hi, dtype):
+    """Vectorised 16-point Gauss-Legendre integral of f(a) da over
+    [lo, hi] (arrays ok), evaluated in ln a."""
+    lnl, lnh = jnp.log(lo), jnp.log(hi)
+    x = lnl[..., None] + jnp.asarray(_GL_X, dtype) * (lnh - lnl)[..., None]
+    a = jnp.exp(x)
+    w = jnp.asarray(_GL_W, dtype)
+    return (lnh - lnl) * jnp.sum(w * f(a) * a, axis=-1)
+
+
+def _rung_tables_device(a0, a1, n_rungs, H0, Om, OL, dtype):
+    """On-device equivalent of :func:`rung_kick_tables` for ONE global
+    step [a0, a1] with traced endpoints — what the adaptive chooser
+    needs (it picks a1 at run time, so host precomputation is
+    impossible).  Returns (kl1, kl2, Fk (n_sub+1, n_rungs), Dr (n_sub,),
+    A_sub (n_sub,)); tick layout and half-kick placement match the host
+    tables exactly (16-pt GL vs the host's dense trapezoid agree to
+    ~1e-12 for these smooth integrands)."""
+    n_sub = 2 ** (n_rungs - 1)
+    lnl, lnh = jnp.log(a0), jnp.log(a1)
+    t = jnp.exp(lnl + jnp.arange(n_sub + 1, dtype=dtype) / n_sub
+                * (lnh - lnl))
+
+    def H(a):
+        return H0 * jnp.sqrt(Om / a**3 + OL)
+
+    def kick(lo, hi):
+        return _gl_int(lambda a: 1.0 / (a * H(a)), lo, hi, dtype)
+
+    def drift(lo, hi):
+        return _gl_int(lambda a: 1.0 / (a**3 * H(a)), lo, hi, dtype)
+
+    Dr = drift(t[:-1], t[1:])
+    A_sub = t[1:]
+    am = jnp.sqrt(a0 * a1)
+    kl1 = kick(a0, am)
+    kl2 = kick(am, a1)
+    Fk = jnp.zeros((n_sub + 1, n_rungs), dtype)
+    for r in range(n_rungs):
+        m = 2 ** (n_rungs - 1 - r)
+        bounds = t[::m]
+        bm = jnp.sqrt(bounds[:-1] * bounds[1:])
+        k1 = kick(bounds[:-1], bm)
+        k2 = kick(bm, bounds[1:])
+        Fk = (
+            Fk.at[np.arange(0, n_sub, m), r].add(k1)
+            .at[np.arange(m, n_sub + 1, m), r].add(k2)
+        )
+    return kl1, kl2, Fk, Dr, A_sub
+
+
+def make_adaptive_rung_runner(
+    cosmo: Cosmology,
+    acc_long_fn,
+    acc_short_fn,
+    acc_short_masked_fn,
+    box: float,
+    cell: float,
+    *,
+    dla_max: float = 0.03,
+    eta_disp: float = 0.25,
+    eta_acc: float = 0.025,
+    eps: float = 0.0,
+    max_steps: int = 8,
+    n_rungs: int = 3,
+):
+    """Adaptive global step COMPOSED with per-particle rungs — CONCEPT's
+    actual integrator structure (adaptive background step + rung
+    subdivision; the reference's run logs show both the varying step and
+    the per-step "Rung population" lines,
+    `TheFeedingPipeline/.../params_id0000….log:6700-6719`).
+
+    Per step, fully on device inside a ``lax.while_loop``: per-particle
+    demand dla_i (displacement + acceleration criteria, as
+    :func:`run_cosmological_rungs`), then the global step
+
+        dla = min(dla_max, 2^(n_rungs-1) * min_i dla_i, ln a_end - ln a0)
+
+    — the DEEPEST rung serves the fastest particle, so unlike the
+    rung-less adaptive chooser the global step does not collapse to the
+    worst particle's demand; it only shrinks when even rung n_rungs-1
+    cannot resolve it.  Kick tables for the chosen [a0, a1] are computed
+    on device (:func:`_rung_tables_device`) and the step body is the
+    same :func:`_rung_block_step` as the fixed-grid rung tier.
+
+    ``max_steps`` bounds one dispatch (TPU relay limit) — call
+    repeatedly until arrival.  Returns run(state, a_end) ->
+    (state, n_steps, overflow_boundary, overflow_masked_source,
+    overflow_target, occupancy_target, dla_last,
+    rung_hist (n_rungs,)) — overflow channels as
+    :func:`run_cosmological_rungs`."""
+    H0, Om, OL = float(cosmo.H0), float(cosmo.Omega_m), float(cosmo.Omega_L)
+    eta_acc_eps2 = 2.0 * float(eta_acc) * float(eps)
+    depth = float(2 ** (n_rungs - 1))
+
+    @jax.jit
+    def run(state: ParticleState, a_end):
+        dtype = state.pos.dtype
+        a_end_ = jnp.asarray(a_end, dtype)
+        boxd = jnp.asarray(box, dtype)
+        celld = jnp.asarray(cell, dtype)
+        etad = jnp.asarray(eta_disp, dtype)
+        etaa = jnp.asarray(eta_acc_eps2, dtype)
+
+        gl0 = acc_long_fn(state.pos, state.mass, state.time)
+        gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
+        hist0 = jnp.zeros((n_rungs,), jnp.int32)
+
+        def cond(carry):
+            st, n = carry[0], carry[6]
+            return jnp.logical_and(st.time < a_end_, n < max_steps)
+
+        def body(carry):
+            st, gl, gs, ov4, _dla, _hist, n = carry
+            a0 = st.time
+            dla_i = _rung_demand(st.vel, gl, gs, a0, celld, etad, etaa,
+                                 H0, Om, OL)
+            dla = jnp.minimum(
+                jnp.minimum(jnp.asarray(dla_max, dtype),
+                            depth * jnp.min(dla_i)),
+                jnp.log(a_end_) - jnp.log(a0),
+            )
+            dla = jnp.maximum(dla, jnp.asarray(1e-8, dtype))
+            a1 = jnp.exp(jnp.log(a0) + dla)
+            kl1, kl2, Fk, Dr, A_sub = _rung_tables_device(
+                a0, a1, n_rungs, H0, Om, OL, dtype
+            )
+            rung = _assign_rungs(dla_i, dla, n_rungs)
+            hist = jnp.bincount(rung, length=n_rungs).astype(jnp.int32)
+            st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t = _rung_block_step(
+                st, gl, gs, rung, (a0, a1, kl1, kl2, Fk, Dr, A_sub),
+                boxd, n_rungs,
+                acc_long_fn, acc_short_fn, acc_short_masked_fn,
+            )
+            ovb, ovm, ovt, occt = ov4
+            return (
+                st, gl_new, gs_new,
+                (
+                    jnp.maximum(ovb, ov_b),
+                    jnp.maximum(ovm, ov_s),
+                    jnp.maximum(ovt, ov_t),
+                    jnp.maximum(occt, occ_t),
+                ),
+                dla, hist, n + 1,
+            )
+
+        init = (
+            state, gl0, gs0,
+            (ov0, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            jnp.asarray(dla_max, dtype), hist0, jnp.int32(0),
+        )
+        st, _, _, (ovb, ovm, ovt, occt), dla, hist, n = jax.lax.while_loop(
+            cond, body, init
+        )
+        return st, n, ovb, ovm, ovt, occt, dla, hist
+
+    return run

@@ -106,7 +106,7 @@ def test_single_rung_matches_subcycled():
     a_grid = log_a_steps(0.5, 0.6, 4)
     long_fn, short_fn, short_masked_fn = _force_fns(box, nmesh)
 
-    final, ov, ovt, occt, hists = run_cosmological_rungs(
+    final, ov, ovm, ovt, occt, hists = run_cosmological_rungs(
         state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
         box, n_rungs=2, cell=box / nmesh, eta_disp=1e-9,
     )
@@ -134,7 +134,7 @@ def test_all_slow_matches_plain_kdk():
     a_grid = log_a_steps(0.5, 0.55, 3)
     long_fn, short_fn, short_masked_fn = _force_fns(box, nmesh)
 
-    final, ov, ovt, occt, hists = run_cosmological_rungs(
+    final, ov, ovm, ovt, occt, hists = run_cosmological_rungs(
         state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
         box, n_rungs=2, cell=box / nmesh, eta_disp=1e9,
     )
@@ -159,7 +159,7 @@ def test_mixed_rungs_stay_close_to_uniform_subcycling():
     a_grid = log_a_steps(0.5, 0.6, 8)
     long_fn, short_fn, short_masked_fn = _force_fns(box, nmesh)
 
-    final, ov, ovt, occt, hists = run_cosmological_rungs(
+    final, ov, ovm, ovt, occt, hists = run_cosmological_rungs(
         state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
         box, n_rungs=3, cell=box / nmesh, eta_disp=0.25,
     )
@@ -216,9 +216,107 @@ def test_driver_rung_rejects_bad_combos():
         run_simulation(
             SimulationConfig(solver="pm", rungs=2, n_side=8), workdir=""
         )
-    with pytest.raises(ValueError):
-        run_simulation(
-            SimulationConfig(solver="p3m", rungs=2, n_side=8,
-                             time_stepping="adaptive"),
-            workdir="",
+
+
+def test_adaptive_rung_runner_matches_fixed_grid_when_demand_slack():
+    """With per-particle demand far above dla_max the adaptive chooser
+    takes exactly dla_max steps and every particle sits on rung 0 — the
+    trajectory must reproduce the fixed-grid rung integrator on the
+    equivalent log-a grid (device GL tables vs host trapezoid tables
+    agree to ~1e-12 for these smooth integrands)."""
+    from nbody.integrate.cosmo_stepping import make_adaptive_rung_runner
+
+    box, nmesh, n = 80.0, 32, 512
+    cosmo, state = _cosmo_system(n, box, vel_scale=1e-5,
+                                 dtype=jnp.float64)
+    long_fn, short_fn, short_masked_fn = _force_fns(box, nmesh)
+
+    dla_max = 0.025
+    n_steps = 4
+    a0 = 0.5
+    a_end = float(np.exp(np.log(a0) + n_steps * dla_max))
+    a_grid = log_a_steps(a0, a_end, n_steps)
+
+    final_f, ov, ovm, ovt, occt, hists = run_cosmological_rungs(
+        state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
+        box, n_rungs=3, cell=box / nmesh, eta_disp=1e9,
+    )
+    run = make_adaptive_rung_runner(
+        cosmo, long_fn, short_fn, short_masked_fn, box, box / nmesh,
+        dla_max=dla_max, eta_disp=1e9, eta_acc=0.0, eps=0.0,
+        max_steps=16, n_rungs=3,
+    )
+    final_a, n, ova, ovma, ovta, occta, dla, hist = run(state, a_end)
+
+    # arrival at a_end is exact up to one trailing ulp micro-step
+    assert n_steps <= int(n) <= n_steps + 1
+    assert int(ova) == 0 and int(ovta) == 0
+    # every particle on rung 0 in the last step
+    np.testing.assert_array_equal(
+        np.asarray(hist), [state.pos.shape[0], 0, 0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_a.pos), np.asarray(final_f.pos),
+        rtol=0, atol=1e-8 * box,
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_a.vel), np.asarray(final_f.vel),
+        rtol=1e-6, atol=1e-9 * float(jnp.abs(final_f.vel).max()),
+    )
+
+
+def test_adaptive_rung_runner_mixed_rungs_sane():
+    """With binding demand the adaptive-rung runner chooses steps wider
+    than the demand floor (the deepest rung absorbs the fastest
+    particles — the step must NOT collapse to the rung-less chooser's
+    min-demand step), populates several rungs, and conserves
+    finiteness."""
+    from nbody.integrate.cosmo_stepping import (
+        make_adaptive_cosmo_runner, make_adaptive_rung_runner,
+    )
+
+    box, nmesh, n = 80.0, 32, 768
+    cosmo, state = _cosmo_system(n, box, vel_scale=0.02)
+    long_fn, short_fn, short_masked_fn = _force_fns(box, nmesh)
+
+    def acc_checked(pos, mass, a):
+        g, ov = p3m_acc(
+            pos, mass, box, nmesh, G=u.COSMO.G, eps=0.1,
+            shortrange="cells", split="spline", with_overflow=True,
         )
+        return g / a, ov
+
+    a_end = 0.56
+    run_r = make_adaptive_rung_runner(
+        cosmo, long_fn, short_fn, short_masked_fn, box, box / nmesh,
+        dla_max=0.03, eta_disp=0.25, eta_acc=0.0, eps=0.0,
+        max_steps=64, n_rungs=3,
+    )
+    final, n_r, ov, ovm, ovt, occt, dla, hist = run_r(state, a_end)
+    assert bool(jnp.all(jnp.isfinite(final.pos)))
+    assert float(final.time) == pytest.approx(a_end, rel=1e-6)
+    h = np.asarray(hist)
+    assert h.sum() == n and h[1:].sum() > 0  # rungs actually used
+
+    run_g = make_adaptive_cosmo_runner(
+        cosmo, acc_checked, box, box / nmesh,
+        dla_max=0.03, eta_disp=0.25, max_steps=256, n_rungs=3,
+    )
+    _, n_g, _, _, _ = run_g(state, a_end)
+    # the global chooser pays min-demand steps for ALL particles; the
+    # rung runner's background step is up to 2^(n_rungs-1) wider
+    assert int(n_r) <= int(n_g)
+
+
+def test_driver_adaptive_rungs_end_to_end(tmp_path):
+    from nbody.driver.config import SimulationConfig
+    from nbody.driver.simulate import run_simulation
+
+    cfg = SimulationConfig(
+        solver="p3m", n_side=12, box=60.0, pm_grid=48, n_steps=64,
+        a_begin=0.3, a_end=0.4, rungs=3, time_stepping="adaptive",
+    )
+    res = run_simulation(cfg, seed=0, workdir=str(tmp_path))
+    assert np.all(np.isfinite(np.asarray(res.state.pos)))
+    log = (tmp_path / "run.log").read_text()
+    assert "Rung population" in log and "dln(a)" in log
