@@ -251,9 +251,14 @@ def build_local_plane(
     n_dev: int,
     capacity: int,
     axis_name: str,
+    valid=None,
 ):
     """Bucket the local slab's particles and assemble its ghost-padded SoA
     cell plane, pulling the two x-halo layers from the neighbours.
+
+    ``valid``: optional (C,) bool mask restricting which local particles
+    enter the plane (ANDed with mass > 0) — the rung tier's compact
+    ACTIVE-target plane (cf. `nbody.forces.p3m.build_padded_plane`).
 
     Local-slab sibling of :func:`nbody.forces.p3m.build_padded_plane`:
     y/z ghosts are periodic wraps of local data (those axes are not
@@ -276,7 +281,7 @@ def build_local_plane(
     M = ncell + 2
     K = -(-capacity // 128) * 128  # lane-align bucket width
 
-    valid = mass_l > 0
+    valid = (mass_l > 0) if valid is None else (valid & (mass_l > 0))
     s = jnp.mod(pos_l, box) * (ncell / box)
     c = jnp.clip(s.astype(jnp.int32), 0, ncell - 1)
     cxl = c[:, 0] - d * nxl
@@ -520,6 +525,7 @@ def make_domain_p3m_local(
     grad_order: str = "fd4",
     interlace: bool = False,
     part: str = "both",
+    target_capacity: int = 128,
 ) -> Callable:
     """Local (inside-shard_map) body: acc(pos_l, mass_l, a) -> (g_l, overflow).
 
@@ -536,7 +542,12 @@ def make_domain_p3m_local(
     ``part`` selects "both" (default), "long" (mesh far field only,
     returns g without overflow) or "short" (pair correction only,
     returns (g, overflow)) — the split the subcycled domain integrator
-    consumes (cf. `nbody.driver.simulate.build_cosmo_force_split`).
+    consumes (cf. `nbody.driver.simulate.build_cosmo_force_split`) — or
+    "short_masked": ``acc(pos_l, mass_l, active_l, a) -> (g, ov_source,
+    ov_target, occ_target)``, the rung tier's interior-tick force ON the
+    active subset FROM all (two-plane cell kernel with a compact
+    ``target_capacity``-wide active plane, cf.
+    `nbody.forces.p3m.p3m_short_cells_pallas_masked`).
     """
     from nbody.core import units as u
     from nbody.forces.p3m import run_cell_plane
@@ -654,12 +665,53 @@ def make_domain_p3m_local(
         )
         return acc_buckets[gidx].astype(dtype) * (G / a), overflow
 
+    def short_range_masked(pos_l, mass_l, act_l, a):
+        dtype = pos_l.dtype
+        d = jax.lax.axis_index(axis_name)
+        plane_j, ov_j, K_j, _ = build_local_plane(
+            pos_l, mass_l, box=box, r_cut=geom.r_cut, ncell=ncell, n_dev=D,
+            capacity=geom.bucket_capacity, axis_name=axis_name,
+        )
+        plane_i, ov_i, K_i, gidx = build_local_plane(
+            pos_l, mass_l, box=box, r_cut=geom.r_cut, ncell=ncell, n_dev=D,
+            capacity=target_capacity, axis_name=axis_name, valid=act_l,
+        )
+        # densest ACTIVE resident bucket (local slab cells only) so the
+        # driver can pre-warm target_capacity for the next segment
+        s = jnp.mod(pos_l, box) * (ncell / box)
+        c = jnp.clip(s.astype(jnp.int32), 0, ncell - 1)
+        cxl = c[:, 0] - d * nxl
+        C3l = nxl * ncell * ncell
+        res = act_l & (mass_l > 0) & (cxl >= 0) & (cxl < nxl)
+        cid = jnp.where(
+            res, (cxl * ncell + c[:, 1]) * ncell + c[:, 2], C3l
+        )
+        occ_i = (
+            jnp.bincount(cid, length=C3l + 1)[:-1].max().astype(jnp.int32)
+        )
+        out = run_cell_plane(
+            plane_i, nx=nxl, ncell=ncell, K=K_i, eps2=eps2,
+            r_s=geom.r_s, r_cut=geom.r_cut, split=split,
+            softening=softening, plane_j=plane_j, K_j=K_j,
+        )
+        acc_buckets = jnp.concatenate(
+            [out[:3].reshape(3, -1).T, jnp.zeros((1, 3), jnp.float32)],
+            axis=0,
+        )
+        return acc_buckets[gidx].astype(dtype) * (G / a), ov_j, ov_i, occ_i
+
     if part == "long":
         return far_field
     if part == "short":
         if split == "none":
             raise ValueError("part='short' is meaningless with split='none'")
         return short_range
+    if part == "short_masked":
+        if split == "none":
+            raise ValueError(
+                "part='short_masked' is meaningless with split='none'"
+            )
+        return short_range_masked
     if part != "both":
         raise ValueError(f"unknown part {part!r}")
 
@@ -715,6 +767,11 @@ class DomainRunResult(NamedTuple):
     state: ParticleState
     exchange_overflow: jax.Array  # int32 max over steps
     bucket_overflow: jax.Array  # int32 max over steps
+    # rung tier only (None otherwise): active-target-plane overflow /
+    # max TRUE occupancy (pre-warm signal), per-step rung populations
+    target_overflow: jax.Array | None = None
+    target_occupancy: jax.Array | None = None
+    rung_hists: jax.Array | None = None  # (n_steps, n_rungs)
 
 
 def run_cosmological_domain(
@@ -736,6 +793,10 @@ def run_cosmological_domain(
     interlace: bool = False,
     subcycles: int = 1,
     softening: str = "plummer",
+    rungs: int = 0,
+    eta_disp: float = 0.25,
+    eta_acc: float = 0.025,
+    target_capacity: int = 128,
 ) -> DomainRunResult:
     """Comoving KDK over ``a_grid`` with slab-resident particles.
 
@@ -751,6 +812,19 @@ def run_cosmological_domain(
     does its own slab migration, with the carried far-field force riding
     the exchange permutation.  ``interlace`` enables the two-pass
     interlaced far field.
+
+    ``rungs`` >= 2 integrates with PER-PARTICLE rungs instead (CONCEPT's
+    block-step scheme, the domain sibling of
+    `nbody.integrate.run_cosmological_rungs`; overrides ``subcycles``):
+    rungs assigned per global step from displacement+acceleration demand
+    (``eta_disp``/``eta_acc``; the carried gl+gs rides the exchange),
+    interior sub-ticks kick only the active rungs via the two-plane
+    masked cell kernel (compact ``target_capacity``-wide active plane),
+    and every sub-tick drift migrates — the rung labels travel with
+    their particles through the same ppermutes.  While the active set is
+    globally empty the interior tick skips plane build + kernel via
+    ``lax.cond`` on a psum'd predicate (uniform across devices, so the
+    collectives inside the taken branch stay aligned).
     """
     from nbody.integrate.cosmo_stepping import cosmo_kick_drift_factors
 
@@ -759,11 +833,19 @@ def run_cosmological_domain(
         geom = domain_p3m_geometry(box, nmesh, D, n_global, axis_name=axis_name)
     C = state.pos.shape[0] // D
     E = exchange_capacity or max(64, C // 8)
+    rung_mode = int(rungs) >= 2 and split != "none"
     n_sub = int(subcycles)
-    subcycled = n_sub > 1 and split != "none"
+    subcycled = (not rung_mode) and n_sub > 1 and split != "none"
     fkw = dict(deconvolve_p=deconvolve_p, split=split, grad_order=grad_order,
                interlace=interlace, softening=softening)
-    if subcycled:
+    if rung_mode:
+        long_acc = make_domain_p3m_local(cosmo, geom, eps, part="long", **fkw)
+        short_acc = make_domain_p3m_local(cosmo, geom, eps, part="short", **fkw)
+        masked_acc = make_domain_p3m_local(
+            cosmo, geom, eps, part="short_masked",
+            target_capacity=target_capacity, **fkw,
+        )
+    elif subcycled:
         long_acc = make_domain_p3m_local(cosmo, geom, eps, part="long", **fkw)
         short_acc = make_domain_p3m_local(cosmo, geom, eps, part="short", **fkw)
     else:
@@ -772,7 +854,20 @@ def run_cosmological_domain(
     a_grid = np.asarray(a_grid, dtype=np.float64)
     K1, Dr, K2, _ = cosmo_kick_drift_factors(cosmo, a_grid)
     dtype = state.pos.dtype
-    if subcycled:
+    if rung_mode:
+        from nbody.integrate.cosmo_stepping import rung_kick_tables
+
+        Fk_t, Dr_t, A_t = rung_kick_tables(cosmo, a_grid, int(rungs))
+        xs = (
+            jnp.asarray(a_grid[:-1], dtype),
+            jnp.asarray(a_grid[1:], dtype),
+            jnp.asarray(K1, dtype),
+            jnp.asarray(K2, dtype),
+            jnp.asarray(Fk_t, dtype),
+            jnp.asarray(Dr_t, dtype),
+            jnp.asarray(A_t, dtype),
+        )
+    elif subcycled:
         n_steps = len(a_grid) - 1
         a0s, a1s = a_grid[:-1], a_grid[1:]
         Ks1 = np.empty((n_steps, n_sub))
@@ -802,6 +897,110 @@ def run_cosmological_domain(
         )
 
     def local_run(pos_l, vel_l, mass_l, t0, xs):
+        if rung_mode:
+            from nbody.integrate.cosmo_stepping import (
+                _assign_rungs,
+                _rung_demand,
+                rung_active_min,
+            )
+
+            n_rungs = int(rungs)
+            n_subr = 2 ** (n_rungs - 1)
+            H0, Om, OL = (
+                float(cosmo.H0), float(cosmo.Omega_m), float(cosmo.Omega_L)
+            )
+            celld = jnp.asarray(box / nmesh, dtype)
+            etad = jnp.asarray(eta_disp, dtype)
+            etaa = jnp.asarray(2.0 * float(eta_acc) * float(eps), dtype)
+
+            gl0 = long_acc(pos_l, mass_l, t0)
+            gs0, ov0 = short_acc(pos_l, mass_l, t0)
+
+            def body(carry, x):
+                pos, vel, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg = carry
+                a0, a1, kl1, kl2, Fk_s, Dr_s, A_s = x
+
+                dla_i = _rung_demand(vel, gl, gs, a0, celld, etad, etaa,
+                                     H0, Om, OL)
+                dla_i = jnp.where(mass > 0, dla_i, jnp.inf)
+                rung = _assign_rungs(
+                    dla_i, jnp.log(a1) - jnp.log(a0), n_rungs
+                )
+                # resident populations only (parked rows -> drop bin)
+                hist = jax.lax.psum(
+                    jnp.bincount(
+                        jnp.where(mass > 0, rung, n_rungs),
+                        length=n_rungs + 1,
+                    )[:-1].astype(jnp.int32),
+                    axis_name,
+                )
+
+                p = vel + gl * kl1             # long opening half-kick
+                p = p + gs * Fk_s[0][rung][:, None]
+                rungf = rung.astype(dtype)
+                for j in range(1, n_subr + 1):
+                    pos = jnp.mod(pos + p * Dr_s[j - 1], box)
+                    pos, p, mass, (gl, gs, rungf), ov_e = slab_exchange(
+                        pos, p, mass,
+                        box=box, ncell=geom.ncell, n_dev=D,
+                        exchange_capacity=E, axis_name=axis_name,
+                        extras=(gl, gs, rungf),
+                    )
+                    ov_ex = jnp.maximum(ov_ex, ov_e)
+                    rung = rungf.astype(jnp.int32)
+                    if j < n_subr:
+                        act = (
+                            (rung >= rung_active_min(j, n_rungs))
+                            & (mass > 0)
+                        )
+                        # uniform predicate (psum) so every device takes
+                        # the same branch and the collectives inside the
+                        # masked force stay aligned
+                        n_act = jax.lax.psum(
+                            jnp.sum(act.astype(jnp.int32)), axis_name
+                        )
+                        g, ov_j, ov_i, occ_i = jax.lax.cond(
+                            n_act > 0,
+                            lambda pos=pos, mass=mass, act=act, j=j:
+                                masked_acc(pos, mass, act, A_s[j - 1]),
+                            lambda: (
+                                jnp.zeros_like(pos),
+                                jnp.int32(0),
+                                jnp.int32(0),
+                                jnp.int32(0),
+                            ),
+                        )
+                        ov_bk = jnp.maximum(ov_bk, ov_j)
+                        ov_tg = jnp.maximum(ov_tg, ov_i)
+                        occ_tg = jnp.maximum(occ_tg, occ_i)
+                    else:
+                        g, ov_b = short_acc(pos, mass, A_s[j - 1])
+                        gs = g
+                        ov_bk = jnp.maximum(ov_bk, ov_b)
+                    p = p + g * Fk_s[j][rung][:, None]
+
+                gl = long_acc(pos, mass, a1)
+                vel = p + gl * kl2
+                return (
+                    pos, vel, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg
+                ), hist
+
+            init = (
+                pos_l, vel_l, mass_l, gl0, gs0,
+                jnp.int32(0), ov0, jnp.int32(0), jnp.int32(0),
+            )
+            (
+                pos_l, vel_l, mass_l, _, _, ov_ex, ov_bk, ov_tg, occ_tg
+            ), hists = jax.lax.scan(body, init, xs)
+            return (
+                pos_l, vel_l, mass_l,
+                jax.lax.psum(ov_ex, axis_name),
+                jax.lax.psum(ov_bk, axis_name),
+                jax.lax.psum(ov_tg, axis_name),
+                jax.lax.pmax(occ_tg, axis_name),
+                hists,
+            )
+
         if subcycled:
             gl0 = long_acc(pos_l, mass_l, t0)
             gs0, ov0 = short_acc(pos_l, mass_l, t0)
@@ -877,6 +1076,7 @@ def run_cosmological_domain(
             jax.lax.psum(ov_ex, axis_name), jax.lax.psum(ov_bk, axis_name),
         )
 
+    n_scalar_out = 5 if rung_mode else 2
     run = _shard_map(
         local_run,
         mesh=mesh,
@@ -884,13 +1084,30 @@ def run_cosmological_domain(
             P(axis_name), P(axis_name), P(axis_name), P(),
             tuple(P() for _ in xs),
         ),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name), P(), P()),
+        out_specs=(
+            P(axis_name), P(axis_name), P(axis_name),
+            *([P()] * n_scalar_out),
+        ),
         check_vma=False,
     )
-    pos, vel, mass, ov_ex, ov_bk = jax.jit(run)(
+    out = jax.jit(run)(
         state.pos, state.vel, state.mass,
         jnp.asarray(a_grid[0], dtype), xs,
     )
+    if rung_mode:
+        pos, vel, mass, ov_ex, ov_bk, ov_tg, occ_tg, hists = out
+        return DomainRunResult(
+            state=ParticleState(
+                pos=pos, vel=vel, mass=mass,
+                time=jnp.asarray(a_grid[-1], dtype),
+            ),
+            exchange_overflow=ov_ex,
+            bucket_overflow=ov_bk,
+            target_overflow=ov_tg,
+            target_occupancy=occ_tg,
+            rung_hists=hists,
+        )
+    pos, vel, mass, ov_ex, ov_bk = out
     return DomainRunResult(
         state=ParticleState(
             pos=pos, vel=vel, mass=mass, time=jnp.asarray(a_grid[-1], dtype)

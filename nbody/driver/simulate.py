@@ -1120,7 +1120,9 @@ def _run_simulation_domain(
     and overflow self-heal as the single-device path (the role of
     CONCEPT's MPI launcher flag, reference `SnapVsPK/Ucertain.py:89`).
     Integration is `run_cosmological_domain` (fixed log-a grid, optional
-    short-range subcycling); P(k) at output times is the SHARDED
+    short-range subcycling or per-particle rung stepping with
+    rung-population logs + target-capacity pre-warm/self-heal); P(k) at
+    output times is the SHARDED
     estimator (no host gather); snapshots/checkpoints gather to the host
     (HDF5 is host-side anyway).  ICs are realized single-device and
     decomposed once — an O(N) host pass at t=0 only.  Adaptive stepping
@@ -1149,6 +1151,9 @@ def _run_simulation_domain(
             "devices > 1 supports fixed time stepping (the adaptive "
             "chooser is single-device for now)"
         )
+    rungs = config.rungs if config.rungs >= 2 else 0
+    if rungs and config.solver != "p3m":
+        raise ValueError("rungs requires the p3m solver")
     t0 = time.perf_counter()
     cosmo = config.cosmology()
     mesh = device_mesh(n_dev)
@@ -1204,7 +1209,8 @@ def _run_simulation_domain(
             range(checkpoint_every_steps, len(a_grid) - 1,
                   checkpoint_every_steps)
         )
-    seg_cap = max(4, 32 // max(1, config.subcycles))
+    n_sub_eff = 2 ** (rungs - 1) if rungs else max(1, config.subcycles)
+    seg_cap = max(2, 32 // n_sub_eff)
     bounds |= set(range(start_idx + seg_cap, len(a_grid) - 1, seg_cap))
     bounds = sorted(i for i in bounds if i > start_idx)
 
@@ -1220,8 +1226,10 @@ def _run_simulation_domain(
         f"bucket capacity {geom.bucket_capacity})"
     )
 
+    rcap = config.rung_capacity or 128
+
     def run_segment(dst, lo, hi):
-        nonlocal geom, E
+        nonlocal geom, E, rcap
         attempts = 5
         while attempts > 0:
             res = run_cosmological_domain(
@@ -1233,11 +1241,43 @@ def _run_simulation_domain(
                 subcycles=config.subcycles,
                 softening=config.softening_kernel,
                 exchange_capacity=E,
+                rungs=rungs,
+                eta_disp=config.step_eta_disp,
+                eta_acc=config.step_eta_acc,
+                target_capacity=rcap,
             )
             ov_b, ov_e = int(res.bucket_overflow), int(res.exchange_overflow)
-            if ov_b == 0 and ov_e == 0:
+            ov_t = int(res.target_overflow) if rungs else 0
+            if ov_b == 0 and ov_e == 0 and ov_t == 0:
+                if rungs:
+                    for k, h in enumerate(np.asarray(res.rung_hists)):
+                        hl = h[: max(1, int(np.max(np.nonzero(h)[0]) + 1))]
+                        log(
+                            f"Time step {lo + 1 + k:4d}   "
+                            f"a = {a_grid[lo + 1 + k]:.4f}   "
+                            f"Rung population: matter: "
+                            + ", ".join(str(int(p)) for p in hl)
+                        )
+                    # pre-warm the active-target capacity from the densest
+                    # bucket this segment actually saw (35% growth margin,
+                    # next 128-lane quantum) — same policy as the
+                    # single-device rung driver
+                    occ = int(res.target_occupancy)
+                    needed = -(-int(occ * 1.35) // 128) * 128
+                    if needed > rcap:
+                        log(
+                            f"pre-warming rung target capacity to {needed} "
+                            f"(densest active bucket {occ})"
+                        )
+                        rcap = needed
                 return res.state
             attempts -= 1
+            if ov_t:
+                rcap *= 2
+                log(
+                    f"rung target-plane overflow ({ov_t} particles) — "
+                    f"doubling rung capacity to {rcap}, re-running segment"
+                )
             if ov_b:
                 new_cap = 2 * geom.bucket_capacity
                 log(

@@ -482,3 +482,133 @@ class TestDomainMeasure:
             np.testing.assert_allclose(
                 np.asarray(raw.k), np.asarray(ref_r.k), rtol=1e-6
             )
+
+
+class TestDomainRungs:
+    """Per-particle rung stepping on the slab domain tier — the domain
+    sibling of `nbody.integrate.run_cosmological_rungs` (rung labels and
+    carried forces ride the slab-exchange ppermutes; interior sub-ticks
+    use the two-plane masked cell kernel on the local plane)."""
+
+    def test_rung_run_matches_replicated(self, mesh8):
+        """Domain rung integration == single-device run_cosmological_rungs
+        on the identical discretization (same nmesh/ncell/split/etas)."""
+        from nbody.forces.p3m import (
+            p3m_acc,
+            p3m_short_cells_pallas_masked,
+            p3m_short_params,
+        )
+        from nbody.integrate.cosmo_stepping import (
+            log_a_steps,
+            run_cosmological_rungs,
+        )
+
+        n, box, nmesh, R = 2048, 80.0, 48, 3
+        eps, eta_disp, eta_acc = 0.1, 0.02, 0.025
+        cosmo, state = _cosmo_system(n, box, seed=31, dtype=jnp.float32)
+        a_grid = log_a_steps(0.5, 0.6, 4)
+
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        res = run_cosmological_domain(
+            st, cosmo, a_grid, mesh8,
+            box=box, nmesh=nmesh, eps=eps, n_global=n, split="spline",
+            rungs=R, eta_disp=eta_disp, eta_acc=eta_acc,
+            target_capacity=256,
+        )
+        assert int(res.exchange_overflow) == 0
+        assert int(res.bucket_overflow) == 0
+        assert int(res.target_overflow) == 0
+        hists = np.asarray(res.rung_hists)
+        assert hists.shape == (4, R)
+        np.testing.assert_array_equal(hists.sum(axis=1), n)
+        # the tight displacement eta must push some particles off rung 0
+        assert hists[:, 1:].sum() > 0
+
+        def long_fn(pos, mass, a):
+            return p3m_acc(
+                pos, mass, box, nmesh, G=u.COSMO.G, eps=eps,
+                shortrange="cells", split="spline", part="long",
+            ) / a
+
+        def short_fn(pos, mass, a):
+            g, ov = p3m_acc(
+                pos, mass, box, nmesh, G=u.COSMO.G, eps=eps,
+                shortrange="cells", split="spline", part="short",
+                with_overflow=True,
+            )
+            return g / a, ov
+
+        def short_masked_fn(pos, mass, act, a):
+            r_s, r_cut, ncell, cap = p3m_short_params(
+                box, nmesh, pos.shape[0]
+            )
+            g, ov_s, ov_t, occ_t = p3m_short_cells_pallas_masked(
+                pos, mass, act, box, eps, r_s, r_cut, G=u.COSMO.G,
+                ncell=ncell, capacity=cap, target_capacity=cap,
+                split="spline",
+            )
+            return g / a, ov_s, ov_t, occ_t
+
+        ref, ovb, ovm, ovt, occt, ref_hists = run_cosmological_rungs(
+            state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
+            box, n_rungs=R, cell=box / nmesh,
+            eta_disp=eta_disp, eta_acc=eta_acc, eps=eps,
+        )
+        assert int(ovb) == 0 and int(ovt) == 0
+
+        # same per-step rung populations (same demand criteria on the
+        # same state; the local vs global plane build differs at f32
+        # round-off, so particles exactly at a rung boundary may flip)
+        np.testing.assert_allclose(hists, np.asarray(ref_hists), atol=4)
+
+        final = domain_gather(res.state)
+        assert final.n == n
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(ref.pos))
+        dist, idx = tree.query(np.asarray(final.pos))
+        assert len(set(idx.tolist())) == n
+        assert dist.max() < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(final.vel), np.asarray(ref.vel)[idx],
+            rtol=2e-3, atol=2e-3,
+        )
+
+    def test_all_rung0_matches_plain_kdk(self, mesh8):
+        """With slack demand every particle sits on rung 0 and the rung
+        tier must reduce to the plain domain KDK (boundary ticks only —
+        the interior masked ticks are skipped via the uniform lax.cond)."""
+        n, box, nmesh = 1024, 80.0, 48
+        cosmo, state = _cosmo_system(n, box, seed=32, dtype=jnp.float32)
+        from nbody.integrate.cosmo_stepping import log_a_steps
+
+        a_grid = log_a_steps(0.5, 0.55, 2)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        res_r = run_cosmological_domain(
+            st, cosmo, a_grid, mesh8,
+            box=box, nmesh=nmesh, eps=0.1, n_global=n, split="spline",
+            rungs=2, eta_disp=1e9, eta_acc=0.0,
+        )
+        hists = np.asarray(res_r.rung_hists)
+        np.testing.assert_array_equal(hists[:, 1:], 0)
+
+        res_k = run_cosmological_domain(
+            st, cosmo, a_grid, mesh8,
+            box=box, nmesh=nmesh, eps=0.1, n_global=n, split="spline",
+        )
+        fr = domain_gather(res_r.state)
+        fk = domain_gather(res_k.state)
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(fk.pos))
+        dist, idx = tree.query(np.asarray(fr.pos))
+        assert len(set(idx.tolist())) == n
+        # rung 0's schedule is boundary-only: opening half-kick k1 (long
+        # kl1 + short Fk[0]), two sub-drifts that telescope to the full
+        # drift, closing half-kick k2 — the plain KDK trajectory up to
+        # f32 drift-splitting round-off
+        assert dist.max() < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(fr.vel), np.asarray(fk.vel)[idx],
+            rtol=2e-3, atol=2e-3,
+        )

@@ -360,6 +360,26 @@ class TestDomainDriver:
         np.testing.assert_allclose(P[modes > 0], P2[m2 > 0], rtol=1e-4)
         np.testing.assert_allclose(Pc[modes > 0], Pc2[m2 > 0], rtol=1e-4)
 
+    def test_domain_rungs_end_to_end(self, tmp_path):
+        """devices>1 + rungs: the domain rung tier is reachable from the
+        driver, logs CONCEPT-style per-step rung populations, and
+        produces finite output."""
+        import jax
+
+        cfg = self.DOMAIN.replace(
+            rungs=2,
+            subcycles=1,
+            n_steps=4,
+            output=self.DOMAIN.output.replace(
+                dir=str(tmp_path), snapshot_times=(1.0,)
+            ),
+        )
+        res = run_simulation(cfg, seed=5, workdir=str(tmp_path))
+        assert res.state.n == cfg.n_particles
+        assert bool(jax.numpy.isfinite(res.state.pos).all())
+        log = (tmp_path / "run.log").read_text()
+        assert "Rung population" in log
+
     def test_domain_rejects_adaptive_and_pp(self):
         with pytest.raises(ValueError):
             run_simulation(
