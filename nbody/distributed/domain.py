@@ -763,6 +763,68 @@ def make_domain_p3m_force(
 # ---------------------------------------------------------------------------
 
 
+def _rung_ticks(pos, p, mass, gl, gs, rung, Fk, Dr, A_sub, *, box, geom,
+                D, E, axis_name, n_rungs, short_acc, masked_acc):
+    """Sub-ticks 1..n_sub of one rung block step on the local slab.
+
+    Each tick: drift all particles, migrate (rung labels + carried
+    forces ride the exchange ppermutes), then kick — interior ticks via
+    the masked two-plane kernel on the active rungs only (skipped in
+    lockstep across devices while the active set is globally empty),
+    the boundary tick via the full short force.  The caller applies the
+    long half-kicks and the tick-0 short kick.
+
+    Returns (pos, p, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg) with
+    per-knob overflow channels (exchange / source-plane bucket /
+    active-target plane) plus the densest-active-bucket occupancy.
+    """
+    from nbody.integrate.cosmo_stepping import rung_active_min
+
+    n_sub = 2 ** (n_rungs - 1)
+    ov_ex = jnp.int32(0)
+    ov_bk = jnp.int32(0)
+    ov_tg = jnp.int32(0)
+    occ_tg = jnp.int32(0)
+    dtype = pos.dtype
+    rungf = rung.astype(dtype)
+    for j in range(1, n_sub + 1):
+        pos = jnp.mod(pos + p * Dr[j - 1], box)
+        pos, p, mass, (gl, gs, rungf), ov_e = slab_exchange(
+            pos, p, mass,
+            box=box, ncell=geom.ncell, n_dev=D,
+            exchange_capacity=E, axis_name=axis_name,
+            extras=(gl, gs, rungf),
+        )
+        ov_ex = jnp.maximum(ov_ex, ov_e)
+        rung = rungf.astype(jnp.int32)
+        if j < n_sub:
+            act = (rung >= rung_active_min(j, n_rungs)) & (mass > 0)
+            # uniform predicate (psum) so every device takes the same
+            # branch and the collectives inside the masked force stay
+            # aligned
+            n_act = jax.lax.psum(jnp.sum(act.astype(jnp.int32)), axis_name)
+            g, ov_j, ov_i, occ_i = jax.lax.cond(
+                n_act > 0,
+                lambda pos=pos, mass=mass, act=act, j=j:
+                    masked_acc(pos, mass, act, A_sub[j - 1]),
+                lambda: (
+                    jnp.zeros_like(pos),
+                    jnp.int32(0),
+                    jnp.int32(0),
+                    jnp.int32(0),
+                ),
+            )
+            ov_bk = jnp.maximum(ov_bk, ov_j)
+            ov_tg = jnp.maximum(ov_tg, ov_i)
+            occ_tg = jnp.maximum(occ_tg, occ_i)
+        else:
+            g, ov_b = short_acc(pos, mass, A_sub[j - 1])
+            gs = g
+            ov_bk = jnp.maximum(ov_bk, ov_b)
+        p = p + g * Fk[j][rung][:, None]
+    return pos, p, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg
+
+
 class DomainRunResult(NamedTuple):
     state: ParticleState
     exchange_overflow: jax.Array  # int32 max over steps
@@ -901,11 +963,9 @@ def run_cosmological_domain(
             from nbody.integrate.cosmo_stepping import (
                 _assign_rungs,
                 _rung_demand,
-                rung_active_min,
             )
 
             n_rungs = int(rungs)
-            n_subr = 2 ** (n_rungs - 1)
             H0, Om, OL = (
                 float(cosmo.H0), float(cosmo.Omega_m), float(cosmo.Omega_L)
             )
@@ -937,47 +997,16 @@ def run_cosmological_domain(
 
                 p = vel + gl * kl1             # long opening half-kick
                 p = p + gs * Fk_s[0][rung][:, None]
-                rungf = rung.astype(dtype)
-                for j in range(1, n_subr + 1):
-                    pos = jnp.mod(pos + p * Dr_s[j - 1], box)
-                    pos, p, mass, (gl, gs, rungf), ov_e = slab_exchange(
-                        pos, p, mass,
-                        box=box, ncell=geom.ncell, n_dev=D,
-                        exchange_capacity=E, axis_name=axis_name,
-                        extras=(gl, gs, rungf),
-                    )
-                    ov_ex = jnp.maximum(ov_ex, ov_e)
-                    rung = rungf.astype(jnp.int32)
-                    if j < n_subr:
-                        act = (
-                            (rung >= rung_active_min(j, n_rungs))
-                            & (mass > 0)
-                        )
-                        # uniform predicate (psum) so every device takes
-                        # the same branch and the collectives inside the
-                        # masked force stay aligned
-                        n_act = jax.lax.psum(
-                            jnp.sum(act.astype(jnp.int32)), axis_name
-                        )
-                        g, ov_j, ov_i, occ_i = jax.lax.cond(
-                            n_act > 0,
-                            lambda pos=pos, mass=mass, act=act, j=j:
-                                masked_acc(pos, mass, act, A_s[j - 1]),
-                            lambda: (
-                                jnp.zeros_like(pos),
-                                jnp.int32(0),
-                                jnp.int32(0),
-                                jnp.int32(0),
-                            ),
-                        )
-                        ov_bk = jnp.maximum(ov_bk, ov_j)
-                        ov_tg = jnp.maximum(ov_tg, ov_i)
-                        occ_tg = jnp.maximum(occ_tg, occ_i)
-                    else:
-                        g, ov_b = short_acc(pos, mass, A_s[j - 1])
-                        gs = g
-                        ov_bk = jnp.maximum(ov_bk, ov_b)
-                    p = p + g * Fk_s[j][rung][:, None]
+                pos, p, mass, gl, gs, ov_e, ov_b, ov_t, occ_t = _rung_ticks(
+                    pos, p, mass, gl, gs, rung, Fk_s, Dr_s, A_s,
+                    box=box, geom=geom, D=D, E=E, axis_name=axis_name,
+                    n_rungs=n_rungs, short_acc=short_acc,
+                    masked_acc=masked_acc,
+                )
+                ov_ex = jnp.maximum(ov_ex, ov_e)
+                ov_bk = jnp.maximum(ov_bk, ov_b)
+                ov_tg = jnp.maximum(ov_tg, ov_t)
+                occ_tg = jnp.maximum(occ_tg, occ_t)
 
                 gl = long_acc(pos, mass, a1)
                 vel = p + gl * kl2
@@ -1114,4 +1143,185 @@ def run_cosmological_domain(
         ),
         exchange_overflow=ov_ex,
         bucket_overflow=ov_bk,
+    )
+
+
+class DomainAdaptiveResult(NamedTuple):
+    state: ParticleState
+    n_steps: jax.Array  # int32 steps taken this call
+    exchange_overflow: jax.Array
+    bucket_overflow: jax.Array
+    target_overflow: jax.Array
+    target_occupancy: jax.Array
+    dla_last: jax.Array  # last chosen background step
+    rung_hist: jax.Array  # (n_rungs,) populations of the last step
+
+
+def run_cosmological_domain_adaptive(
+    state: ParticleState,
+    cosmo,
+    a_end: float,
+    mesh: Mesh,
+    *,
+    box: float,
+    nmesh: int,
+    eps: float,
+    n_global: int,
+    axis_name: str = "shard",
+    exchange_capacity: int | None = None,
+    geom: DomainP3M | None = None,
+    deconvolve_p: int = 2,
+    split: str = "spline",
+    grad_order: str = "fd4",
+    interlace: bool = False,
+    softening: str = "plummer",
+    rungs: int = 1,
+    dla_max: float = 0.03,
+    eta_disp: float = 0.25,
+    eta_acc: float = 0.025,
+    target_capacity: int = 128,
+    max_steps: int = 8,
+) -> DomainAdaptiveResult:
+    """Adaptive background step x per-particle rungs on the slab domain
+    tier — the multi-chip form of
+    `nbody.integrate.cosmo_stepping.make_adaptive_rung_runner` (CONCEPT's
+    full integrator structure; its MPI runs pick the step collectively
+    the same way).
+
+    Per step, fully on device inside one ``lax.while_loop`` under one
+    ``shard_map``: per-particle demand on the local slab, the global
+    step
+
+        dla = min(dla_max, 2^(rungs-1) * pmin_i dla_i, ln a_end - ln a0)
+
+    (``lax.pmin`` makes the choice identical on every device, so the
+    while_loop trip count and every collective stay aligned), on-device
+    Gauss-Legendre kick tables for the traced [a0, a1], then the same
+    rung tick loop as the fixed-grid tier (:func:`_rung_ticks` —
+    per-tick migration, masked interior kicks).  ``rungs=1`` degenerates
+    to a plain adaptive KDK (boundary ticks only).
+
+    ``max_steps`` bounds one dispatch (TPU relay limit) — call
+    repeatedly until ``state.time`` reaches ``a_end``.
+    """
+    from nbody.integrate.cosmo_stepping import (
+        _assign_rungs,
+        _rung_demand,
+        _rung_tables_device,
+    )
+
+    D = mesh.shape[axis_name]
+    if geom is None:
+        geom = domain_p3m_geometry(box, nmesh, D, n_global,
+                                   axis_name=axis_name)
+    C = state.pos.shape[0] // D
+    E = exchange_capacity or max(64, C // 8)
+    n_rungs = int(rungs)
+    depth = float(2 ** (n_rungs - 1))
+    fkw = dict(deconvolve_p=deconvolve_p, split=split,
+               grad_order=grad_order, interlace=interlace,
+               softening=softening)
+    long_acc = make_domain_p3m_local(cosmo, geom, eps, part="long", **fkw)
+    short_acc = make_domain_p3m_local(cosmo, geom, eps, part="short", **fkw)
+    masked_acc = make_domain_p3m_local(
+        cosmo, geom, eps, part="short_masked",
+        target_capacity=target_capacity, **fkw,
+    )
+    H0, Om, OL = float(cosmo.H0), float(cosmo.Omega_m), float(cosmo.Omega_L)
+    eta_acc_eps2 = 2.0 * float(eta_acc) * float(eps)
+    dtype = state.pos.dtype
+
+    def local_run(pos_l, vel_l, mass_l, t0, a_end_):
+        celld = jnp.asarray(box / nmesh, dtype)
+        etad = jnp.asarray(eta_disp, dtype)
+        etaa = jnp.asarray(eta_acc_eps2, dtype)
+
+        gl0 = long_acc(pos_l, mass_l, t0)
+        gs0, ov0 = short_acc(pos_l, mass_l, t0)
+        hist0 = jnp.zeros((n_rungs,), jnp.int32)
+
+        def cond(carry):
+            t, n = carry[3], carry[-1]
+            return jnp.logical_and(t < a_end_, n < max_steps)
+
+        def body(carry):
+            (pos, vel, mass, t, gl, gs,
+             ov_ex, ov_bk, ov_tg, occ_tg, _dla, _hist, n) = carry
+            dla_i = _rung_demand(vel, gl, gs, t, celld, etad, etaa,
+                                 H0, Om, OL)
+            dla_i = jnp.where(mass > 0, dla_i, jnp.inf)
+            # identical on every device: pmin over the slab minima
+            dla_min = jax.lax.pmin(jnp.min(dla_i), axis_name)
+            dla = jnp.minimum(
+                jnp.minimum(jnp.asarray(dla_max, dtype), depth * dla_min),
+                jnp.log(a_end_) - jnp.log(t),
+            )
+            dla = jnp.maximum(dla, jnp.asarray(1e-8, dtype))
+            a1 = jnp.exp(jnp.log(t) + dla)
+            kl1, kl2, Fk, Dr, A_sub = _rung_tables_device(
+                t, a1, n_rungs, H0, Om, OL, dtype
+            )
+            rung = _assign_rungs(dla_i, dla, n_rungs)
+            hist = jax.lax.psum(
+                jnp.bincount(
+                    jnp.where(mass > 0, rung, n_rungs), length=n_rungs + 1
+                )[:-1].astype(jnp.int32),
+                axis_name,
+            )
+            p = vel + gl * kl1
+            p = p + gs * Fk[0][rung][:, None]
+            pos, p, mass, gl, gs, ov_e, ov_b, ov_t, occ_t = _rung_ticks(
+                pos, p, mass, gl, gs, rung, Fk, Dr, A_sub,
+                box=box, geom=geom, D=D, E=E, axis_name=axis_name,
+                n_rungs=n_rungs, short_acc=short_acc,
+                masked_acc=masked_acc,
+            )
+            gl = long_acc(pos, mass, a1)
+            vel = p + gl * kl2
+            return (
+                pos, vel, mass, a1, gl, gs,
+                jnp.maximum(ov_ex, ov_e), jnp.maximum(ov_bk, ov_b),
+                jnp.maximum(ov_tg, ov_t), jnp.maximum(occ_tg, occ_t),
+                dla, hist, n + 1,
+            )
+
+        init = (
+            pos_l, vel_l, mass_l, t0, gl0, gs0,
+            jnp.int32(0), ov0, jnp.int32(0), jnp.int32(0),
+            jnp.asarray(dla_max, dtype), hist0, jnp.int32(0),
+        )
+        (pos_l, vel_l, mass_l, t, _, _, ov_ex, ov_bk, ov_tg, occ_tg,
+         dla, hist, n) = jax.lax.while_loop(cond, body, init)
+        return (
+            pos_l, vel_l, mass_l, t, n,
+            jax.lax.psum(ov_ex, axis_name),
+            jax.lax.psum(ov_bk, axis_name),
+            jax.lax.psum(ov_tg, axis_name),
+            jax.lax.pmax(occ_tg, axis_name),
+            dla, hist,
+        )
+
+    run = _shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(), P()),
+        out_specs=(
+            P(axis_name), P(axis_name), P(axis_name),
+            *([P()] * 8),
+        ),
+        check_vma=False,
+    )
+    pos, vel, mass, t, n, ov_ex, ov_bk, ov_tg, occ_tg, dla, hist = jax.jit(
+        run
+    )(state.pos, state.vel, state.mass, jnp.asarray(state.time, dtype),
+      jnp.asarray(a_end, dtype))
+    return DomainAdaptiveResult(
+        state=ParticleState(pos=pos, vel=vel, mass=mass, time=t),
+        n_steps=n,
+        exchange_overflow=ov_ex,
+        bucket_overflow=ov_bk,
+        target_overflow=ov_tg,
+        target_occupancy=occ_tg,
+        dla_last=dla,
+        rung_hist=hist,
     )

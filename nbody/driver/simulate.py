@@ -1125,14 +1125,16 @@ def _run_simulation_domain(
     output times is the SHARDED
     estimator (no host gather); snapshots/checkpoints gather to the host
     (HDF5 is host-side anyway).  ICs are realized single-device and
-    decomposed once — an O(N) host pass at t=0 only.  Adaptive stepping
-    is not yet available on this tier.
+    decomposed once — an O(N) host pass at t=0 only.
+    ``time_stepping="adaptive"`` runs the collectively-chosen background
+    step (optionally x rungs) via `run_cosmological_domain_adaptive`.
     """
     from nbody.distributed.domain import (
         domain_decompose,
         domain_gather,
         domain_p3m_geometry,
         run_cosmological_domain,
+        run_cosmological_domain_adaptive,
     )
     from nbody.distributed.sharding import device_mesh
     from nbody.io.checkpoint import (
@@ -1146,11 +1148,7 @@ def _run_simulation_domain(
             "devices > 1 supports the mesh solvers (pm/p3m); use the ring "
             "tier in nbody.distributed.sharding for distributed PP"
         )
-    if config.time_stepping == "adaptive":
-        raise ValueError(
-            "devices > 1 supports fixed time stepping (the adaptive "
-            "chooser is single-device for now)"
-        )
+    adaptive = config.time_stepping == "adaptive"
     rungs = config.rungs if config.rungs >= 2 else 0
     if rungs and config.solver != "p3m":
         raise ValueError("rungs requires the p3m solver")
@@ -1203,22 +1201,40 @@ def _run_simulation_domain(
     C = dstate.pos.shape[0] // n_dev
     E = max(64, C // 8)
 
-    bounds = set(out_idx) | {len(a_grid) - 1}
-    if checkpoint_every_steps:
-        bounds |= set(
-            range(checkpoint_every_steps, len(a_grid) - 1,
-                  checkpoint_every_steps)
-        )
     n_sub_eff = 2 ** (rungs - 1) if rungs else max(1, config.subcycles)
-    seg_cap = max(2, 32 // n_sub_eff)
-    bounds |= set(range(start_idx + seg_cap, len(a_grid) - 1, seg_cap))
-    bounds = sorted(i for i in bounds if i > start_idx)
+    if adaptive:
+        a_start = float(np.asarray(dstate.time))
+        out_a = sorted(
+            {
+                float(a)
+                for a in config.output.snapshot_times
+                if config.a_begin < a <= config.a_end
+            }
+        )
+        a_bounds = sorted(
+            {a for a in out_a if a > a_start} | {config.a_end}
+        )
+    else:
+        bounds = set(out_idx) | {len(a_grid) - 1}
+        if checkpoint_every_steps:
+            bounds |= set(
+                range(checkpoint_every_steps, len(a_grid) - 1,
+                      checkpoint_every_steps)
+            )
+        seg_cap = max(2, 32 // n_sub_eff)
+        bounds |= set(range(start_idx + seg_cap, len(a_grid) - 1, seg_cap))
+        bounds = sorted(i for i in bounds if i > start_idx)
 
     log(
         f"nbody run: solver={config.solver} N={config.n_particles} "
         f"box={config.box:g} Mpc mesh={config.mesh_size} "
-        f"a={config.a_begin:g}->{config.a_end:g} in {config.n_steps} steps "
-        f"(seed={seed}, start_idx={start_idx})"
+        f"a={config.a_begin:g}->{config.a_end:g} "
+        + (
+            "(adaptive stepping)"
+            if adaptive
+            else f"in {config.n_steps} steps "
+        )
+        + f"(seed={seed}, start_idx={start_idx})"
     )
     log(
         f"Domain decomposition: {n_dev}x1x1 "
@@ -1294,7 +1310,142 @@ def _run_simulation_domain(
                 )
         raise RuntimeError("domain capacity retries exhausted")
 
+    n_steps_total = 0
+
+    def run_segment_adaptive(dst, a_hi):
+        """Adaptive background step (x rungs) up to a_hi: chunked
+        dispatches, per-chunk dln(a)/rung-population logs, per-knob
+        self-heal re-running the whole segment from its entry state."""
+        nonlocal geom, E, rcap, n_steps_total
+        n_rungs_eff = rungs if rungs else 1
+        n_entry = n_steps_total
+        attempts = 5
+        while attempts > 0:
+            cur, failed, occ_seen = dst, False, 0
+            n_steps_total = n_entry
+            while float(np.asarray(cur.time)) < a_hi * (1.0 - 1e-9):
+                res = run_cosmological_domain_adaptive(
+                    cur, cosmo, a_hi, mesh,
+                    box=config.box, nmesh=config.mesh_size,
+                    eps=config.eps, n_global=config.n_particles,
+                    geom=geom, split=split,
+                    deconvolve_p=config.deconvolve_p,
+                    interlace=config.interlace,
+                    softening=config.softening_kernel,
+                    exchange_capacity=E,
+                    rungs=n_rungs_eff,
+                    dla_max=config.step_dla_max,
+                    eta_disp=config.step_eta_disp,
+                    eta_acc=config.step_eta_acc,
+                    target_capacity=rcap,
+                    max_steps=max(2, 32 // n_sub_eff),
+                )
+                ov_b = int(res.bucket_overflow)
+                ov_e = int(res.exchange_overflow)
+                ov_t = int(res.target_overflow)
+                occ_seen = max(occ_seen, int(res.target_occupancy))
+                if ov_b or ov_e or ov_t:
+                    failed = True
+                    if ov_t:
+                        rcap *= 2
+                        log(
+                            f"rung target-plane overflow ({ov_t} "
+                            f"particles) — doubling rung capacity to "
+                            f"{rcap}, re-running segment"
+                        )
+                    if ov_b:
+                        geom = geom._replace(
+                            bucket_capacity=2 * geom.bucket_capacity
+                        )
+                        log(
+                            f"P3M bucket overflow inside scan ({ov_b} "
+                            f"particles) — doubling bucket capacity to "
+                            f"{geom.bucket_capacity}, re-running segment"
+                        )
+                    if ov_e:
+                        E *= 2
+                        log(
+                            f"slab-exchange overflow ({ov_e} particles) — "
+                            f"doubling exchange capacity to {E}, "
+                            f"re-running segment"
+                        )
+                    break
+                cur = res.state
+                n_steps_total += int(res.n_steps)
+                pops = np.asarray(res.rung_hist)
+                nz = np.nonzero(pops)[0]
+                pops = pops[: max(1, int(nz.max()) + 1 if nz.size else 1)]
+                log(
+                    f"Time step {n_steps_total:4d}   "
+                    f"a = {float(np.asarray(cur.time)):.4f}   "
+                    f"dln(a) = {float(res.dla_last):.5f}   "
+                    f"Rung population: matter: "
+                    + ", ".join(str(int(p)) for p in pops)
+                )
+            if not failed:
+                needed = -(-int(occ_seen * 1.35) // 128) * 128
+                if needed > rcap:
+                    log(
+                        f"pre-warming rung target capacity to {needed} "
+                        f"(densest active bucket {occ_seen})"
+                    )
+                    rcap = needed
+                return cur
+            attempts -= 1
+        raise RuntimeError("domain capacity retries exhausted")
+
     meta_of = lambda a: SnapshotMeta.from_cosmology(cosmo, config.box, a=a)
+
+    if adaptive:
+        with AsyncSnapshotWriter() as writer:
+            for a_hi in a_bounds:
+                t_seg = time.perf_counter()
+                dstate = run_segment_adaptive(dstate, a_hi)
+                log(
+                    f"Reached a = {a_hi:.4f} "
+                    f"({time.perf_counter() - t_seg:.2f} s)"
+                )
+                if a_hi in out_a and workdir:
+                    tag = f"a={a_hi:.2f}"
+                    if config.output.snapshot:
+                        spath = os.path.join(
+                            workdir, "snapshots", f"snapshot_{tag}.hdf5"
+                        )
+                        writer.submit(spath, domain_gather(dstate),
+                                      meta_of(a_hi))
+                        snapshots.append(spath)
+                        log(f"Snapshot queued: {spath}")
+                    if config.output.powerspec:
+                        ppath = os.path.join(
+                            workdir, "powerspec", f"powerspec_{tag}"
+                        )
+                        os.makedirs(os.path.dirname(ppath), exist_ok=True)
+                        measure_powerspec_sharded(
+                            dstate, mesh, config, a_hi, path=ppath,
+                            seed=seed,
+                        )
+                        powerspecs.append(ppath)
+                        log(f"Power spectrum written (sharded): {ppath}")
+                if (
+                    checkpoint_every_steps
+                    and workdir
+                    and a_hi < config.a_end
+                ):
+                    save_checkpoint(
+                        os.path.join(workdir, "autosave", "checkpoint.npz"),
+                        domain_gather(dstate),
+                        {"grid_index": -1, "seed": seed, "a": float(a_hi)},
+                    )
+            log(f"Total adaptive steps: {n_steps_total}")
+        return SimulationResult(
+            state=domain_gather(dstate),
+            config=config,
+            seed=seed,
+            snapshots=snapshots,
+            powerspecs=powerspecs,
+            wall_s=time.perf_counter() - t0,
+        )
+
     with AsyncSnapshotWriter() as writer:
         prev = start_idx
         last_ckpt = start_idx

@@ -612,3 +612,94 @@ class TestDomainRungs:
             np.asarray(fr.vel), np.asarray(fk.vel)[idx],
             rtol=2e-3, atol=2e-3,
         )
+
+    def test_adaptive_rung_run_matches_replicated(self, mesh8):
+        """Domain adaptive x rungs == the single-device
+        make_adaptive_rung_runner on the identical discretization: the
+        collectively chosen background step (pmin over slabs == global
+        min) and the device Gauss-Legendre tables are shared code, so
+        steps, populations and trajectories must line up."""
+        from nbody.distributed.domain import run_cosmological_domain_adaptive
+        from nbody.forces.p3m import (
+            p3m_acc,
+            p3m_short_cells_pallas_masked,
+            p3m_short_params,
+        )
+        from nbody.integrate.cosmo_stepping import make_adaptive_rung_runner
+
+        n, box, nmesh, R = 2048, 80.0, 48, 3
+        eps, eta_disp, eta_acc = 0.1, 0.02, 0.025
+        cosmo, state = _cosmo_system(n, box, seed=41, dtype=jnp.float32)
+        a_end = 0.56
+
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        dst = st
+        n_steps = 0
+        for _ in range(32):  # chunked dispatches, like the driver
+            if float(np.asarray(dst.time)) >= a_end * (1 - 1e-9):
+                break
+            res = run_cosmological_domain_adaptive(
+                dst, cosmo, a_end, mesh8,
+                box=box, nmesh=nmesh, eps=eps, n_global=n, split="spline",
+                rungs=R, eta_disp=eta_disp, eta_acc=eta_acc,
+                target_capacity=256, max_steps=16,
+            )
+            assert int(res.exchange_overflow) == 0
+            assert int(res.bucket_overflow) == 0
+            assert int(res.target_overflow) == 0
+            dst, n_steps = res.state, n_steps + int(res.n_steps)
+        assert float(np.asarray(dst.time)) == pytest.approx(a_end, rel=1e-6)
+        assert n_steps >= 4  # ln(0.56/0.5) / dla_max
+
+        def long_fn(pos, mass, a):
+            return p3m_acc(
+                pos, mass, box, nmesh, G=u.COSMO.G, eps=eps,
+                shortrange="cells", split="spline", part="long",
+            ) / a
+
+        def short_fn(pos, mass, a):
+            g, ov = p3m_acc(
+                pos, mass, box, nmesh, G=u.COSMO.G, eps=eps,
+                shortrange="cells", split="spline", part="short",
+                with_overflow=True,
+            )
+            return g / a, ov
+
+        def short_masked_fn(pos, mass, act, a):
+            r_s, r_cut, ncell, cap = p3m_short_params(
+                box, nmesh, pos.shape[0]
+            )
+            g, ov_s, ov_t, occ_t = p3m_short_cells_pallas_masked(
+                pos, mass, act, box, eps, r_s, r_cut, G=u.COSMO.G,
+                ncell=ncell, capacity=cap, target_capacity=cap,
+                split="spline",
+            )
+            return g / a, ov_s, ov_t, occ_t
+
+        run_ref = make_adaptive_rung_runner(
+            cosmo, long_fn, short_fn, short_masked_fn, box, box / nmesh,
+            eta_disp=eta_disp, eta_acc=eta_acc, eps=eps,
+            max_steps=16, n_rungs=R,
+        )
+        ref, n_ref = state, 0
+        for _ in range(32):
+            if float(ref.time) >= a_end * (1 - 1e-9):
+                break
+            ref, nn, *_ = run_ref(ref, a_end)
+            n_ref += int(nn)
+        # step choice is pmin(min demand) == the global min demand; f32
+        # force round-off may add/drop one trailing micro-step
+        assert abs(n_steps - n_ref) <= 1
+
+        final = domain_gather(dst)
+        assert final.n == n
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(ref.pos))
+        dist, idx = tree.query(np.asarray(final.pos))
+        assert len(set(idx.tolist())) == n
+        assert dist.max() < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(final.vel), np.asarray(ref.vel)[idx],
+            rtol=2e-3, atol=2e-3,
+        )

@@ -380,16 +380,34 @@ class TestDomainDriver:
         log = (tmp_path / "run.log").read_text()
         assert "Rung population" in log
 
-    def test_domain_rejects_adaptive_and_pp(self):
-        with pytest.raises(ValueError):
-            run_simulation(
-                self.DOMAIN.replace(time_stepping="adaptive"), seed=0,
-                workdir="",
-            )
+    def test_domain_rejects_pp(self):
         with pytest.raises(ValueError):
             run_simulation(
                 self.DOMAIN.replace(solver="pp"), seed=0, workdir="",
             )
+
+    def test_domain_adaptive_rungs_end_to_end(self, tmp_path):
+        """devices>1 + adaptive + rungs: the full CONCEPT integrator
+        structure (collectively chosen background step + per-particle
+        rung subdivision) runs multi-chip through the driver."""
+        import jax
+
+        cfg = self.DOMAIN.replace(
+            time_stepping="adaptive",
+            rungs=2,
+            subcycles=1,
+            a_begin=0.3,
+            a_end=0.4,
+            output=self.DOMAIN.output.replace(
+                dir=str(tmp_path), snapshot_times=(0.4,)
+            ),
+        )
+        res = run_simulation(cfg, seed=7, workdir=str(tmp_path))
+        assert res.state.n == cfg.n_particles
+        assert bool(jax.numpy.isfinite(res.state.pos).all())
+        log = (tmp_path / "run.log").read_text()
+        assert "dln(a)" in log and "Rung population" in log
+        assert "Total adaptive steps" in log
 
 
 def test_energy_budget_logged(tmp_path):
