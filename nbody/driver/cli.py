@@ -362,6 +362,11 @@ def main(argv=None) -> int:
     p.add_argument("--uq", choices=("MC", "nlll", "bayesian"), default="MC")
     p.add_argument("--output", default="emulator_out")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--devices", type=int, default=1,
+        help="data-parallel training over a 1-D device mesh "
+        "(batch sharded, params replicated)",
+    )
     p.set_defaults(fn=cmd_train)
 
     args = ap.parse_args(argv)

@@ -85,12 +85,21 @@ def fit(
     min_lr: float = 1e-5,
     checkpoint_path: str | None = None,
     verbose: bool = False,
+    devices: int = 1,
 ) -> TrainResult:
     """Train with Adam; keep the best-val-loss parameters (the reference's
     `ModelCheckpoint(save_best_only, weights_only)` + reload-after-fit,
     `Cosmo NN5.py:439,459`).  Defaults epochs=1000, bs=16, lr=4e-3 match
     `Feeder_pipe.py:20-22`; early-stop patience/start and the
     plateau-LR schedule mirror `fit_model`'s optional callbacks.
+
+    ``devices`` > 1 trains DATA-PARALLEL over a 1-D device mesh: the
+    batch is sharded over the mesh, parameters/optimizer state are
+    replicated, and the jitted train step is compiled against those
+    shardings — XLA's SPMD partitioner inserts the gradient psums (the
+    "annotate shardings, let the compiler place collectives" recipe;
+    there is nothing reference-equivalent, its training is a single CPU
+    process).  ``batch_size`` must be divisible by ``devices``.
     """
     t0 = time.perf_counter()
     loss_fn = gaussian_nll if model.heteroscedastic else mse_loss
@@ -108,6 +117,22 @@ def fit(
 
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     opt_state = tx.init(params)
+
+    batch_shard = None
+    if devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nbody.distributed.sharding import device_mesh
+
+        if batch_size % devices:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by {devices} devices"
+            )
+        mesh = device_mesh(devices)
+        batch_shard = NamedSharding(mesh, P("shard"))
+        replicated = NamedSharding(mesh, P())
+        params = jax.device_put(params, replicated)
+        opt_state = jax.device_put(opt_state, replicated)
 
     @jax.jit
     def train_step(params, opt_state, x, y, k):
@@ -139,6 +164,9 @@ def fit(
             batch_size, key=ke, shuffle=True, augment=augment, seed=epoch
         ):
             key, kb = jax.random.split(key)
+            if batch_shard is not None:
+                x = jax.device_put(x, batch_shard)
+                y = jax.device_put(y, batch_shard)
             params, opt_state, lval = train_step(params, opt_state, x, y, kb)
             losses.append(lval)
         vlosses = [
@@ -378,6 +406,7 @@ def train_from_cli(args) -> int:
         model, train_ds, val_ds,
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         seed=args.seed,
+        devices=getattr(args, "devices", 1),
         checkpoint_path=os.path.join(args.output, "params.msgpack"),
     )
     info = {

@@ -217,6 +217,29 @@ class TestTraining:
             assert ev.sigma_aleatoric is not None
             assert (ev.sigma_total >= ev.sigma_epistemic - 1e-12).all()
 
+    def test_data_parallel_matches_single_device(self, tmp_path):
+        """fit(devices=8): batch sharded over the CPU mesh, params
+        replicated, gradient psums placed by the SPMD partitioner — the
+        per-epoch losses must track the single-device run (same batches,
+        same keys; only the reduction order differs)."""
+        root, _ = _make_dataset(tmp_path, n=16, nmesh=8)
+        train = DeltaDataset.from_directory(root, "train")
+        val = DeltaDataset.from_directory(root, "val")
+        model = CosmoCNN(n_out=1, n_conv=1, filters=4, dense_units=8)
+        res1 = fit(model, train, val, epochs=3, batch_size=8, lr=1e-3,
+                   seed=0, augment=False)
+        res8 = fit(model, train, val, epochs=3, batch_size=8, lr=1e-3,
+                   seed=0, augment=False, devices=8)
+        np.testing.assert_allclose(
+            res8.history["train_loss"], res1.history["train_loss"],
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            res8.history["val_loss"], res1.history["val_loss"], rtol=1e-4
+        )
+        with pytest.raises(ValueError):
+            fit(model, train, val, epochs=1, batch_size=6, devices=8)
+
     def test_learns_amplitude(self, tmp_path):
         """var(delta) ~ A_s is an easy signal: training must beat the
         predict-the-mean baseline on val loss."""
