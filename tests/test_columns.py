@@ -110,3 +110,43 @@ def test_p3m_acc_columns_tier_matches_cells():
         axis=1,
     ) / np.maximum(np.linalg.norm(np.asarray(a_cells), axis=1), 1e-12)
     assert rel.max() < 1e-4
+
+
+def test_overflow_field_encoding_staged_heal():
+    """overflow is field-encoded (bucket/ghost spills * 65536 + z-window
+    misses) so the driver can widen the right knob: an undersized WINDOW
+    with ample capacity reports a window-only code (high field 0), and
+    widening ONLY the window heals it to an oracle match — the staged
+    self-heal `run_simulation` performs."""
+    n, box, nmesh = 4000, 100.0, 32
+    r_s, r_cut, ncell, CK, W = column_params(box, nmesh, n)
+    pos, mass = _uniform(n, box, seed=9)
+
+    _, ov = p3m_short_columns_pallas(
+        pos, mass, box, 0.1, r_s, r_cut,
+        ncell=ncell, col_capacity=CK, window=128,  # starved z-window
+        split="spline", softening="spline",
+    )
+    ov = int(ov)
+    assert ov > 0
+    assert (ov >> 16) == 0, "ample capacity must not report bucket spills"
+    assert (ov & 0xFFFF) > 0
+
+    # widen the window only (the driver's +50% ladder) until clean
+    w = 128
+    for _ in range(6):
+        acc, ov = p3m_short_columns_pallas(
+            pos, mass, box, 0.1, r_s, r_cut,
+            ncell=ncell, col_capacity=CK, window=w,
+            split="spline", softening="spline",
+        )
+        if int(ov) == 0:
+            break
+        w = -(-int(1.5 * w) // 128) * 128
+    assert int(ov) == 0
+    ref = p3m_short_direct(pos, mass, box, 0.1, r_s, r_cut, split="spline",
+                           softening="spline")
+    rel = np.linalg.norm(
+        np.asarray(acc, np.float64) - np.asarray(ref), axis=1
+    ) / np.maximum(np.linalg.norm(np.asarray(ref), axis=1), 1e-10)
+    assert rel.max() < 1e-4
