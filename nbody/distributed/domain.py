@@ -526,6 +526,9 @@ def make_domain_p3m_local(
     interlace: bool = False,
     part: str = "both",
     target_capacity: int = 128,
+    shortrange: str = "cells",
+    col_capacity: int | None = None,
+    col_window: int | None = None,
 ) -> Callable:
     """Local (inside-shard_map) body: acc(pos_l, mass_l, a) -> (g_l, overflow).
 
@@ -548,6 +551,14 @@ def make_domain_p3m_local(
     active subset FROM all (two-plane cell kernel with a compact
     ``target_capacity``-wide active plane, cf.
     `nbody.forces.p3m.p3m_short_cells_pallas_masked`).
+
+    ``shortrange`` selects the full short-range packing: "cells" (the
+    ghost-padded cell plane) or "columns" (the z-sorted column tier,
+    `nbody.forces.p3m_columns.p3m_short_columns_local` — measured 4.7x
+    faster on clustered states single-device; its overflow word is
+    field-encoded bucket*65536 + window).  ``col_capacity``/
+    ``col_window`` override the auto column knobs.  The masked
+    ("short_masked") kernel always rides the cells geometry.
     """
     from nbody.core import units as u
     from nbody.forces.p3m import run_cell_plane
@@ -646,8 +657,32 @@ def make_domain_p3m_local(
             acc_long = 0.5 * (acc_long + acc1)
         return acc_long
 
+    if shortrange not in ("cells", "columns"):
+        raise ValueError(f"unknown domain shortrange {shortrange!r}")
+    if shortrange == "columns" and not col_capacity:
+        raise ValueError(
+            "shortrange='columns' needs an explicit col_capacity "
+            "(compute it via nbody.forces.p3m_columns.column_params)"
+        )
+
     def short_range(pos_l, mass_l, a):
         dtype = pos_l.dtype
+        if shortrange == "columns":
+            from nbody.forces.p3m_columns import (
+                column_window,
+                p3m_short_columns_local,
+            )
+
+            acc, overflow = p3m_short_columns_local(
+                pos_l, mass_l, box=box, eps=float(eps), r_s=geom.r_s,
+                r_cut=geom.r_cut, G=G, ncell=ncell, n_dev=D,
+                col_capacity=col_capacity,
+                window=col_window or column_window(
+                    box, geom.r_cut, col_capacity
+                ),
+                axis_name=axis_name, split=split, softening=softening,
+            )
+            return acc / a, overflow
         plane, overflow, K, gidx = build_local_plane(
             pos_l, mass_l, box=box, r_cut=geom.r_cut, ncell=ncell, n_dev=D,
             capacity=geom.bucket_capacity, axis_name=axis_name,
@@ -747,7 +782,8 @@ def make_domain_p3m_force(
 
     def body(pos_l, mass_l, a):
         g, ov = local(pos_l, mass_l, a)
-        return g, jax.lax.psum(ov, axis_name)
+        # pmax: the columns tier's overflow word is field-encoded
+        return g, jax.lax.pmax(ov, axis_name)
 
     return _shard_map(
         body,
@@ -859,6 +895,9 @@ def run_cosmological_domain(
     eta_disp: float = 0.25,
     eta_acc: float = 0.025,
     target_capacity: int = 128,
+    shortrange: str = "cells",
+    col_capacity: int | None = None,
+    col_window: int | None = None,
 ) -> DomainRunResult:
     """Comoving KDK over ``a_grid`` with slab-resident particles.
 
@@ -900,6 +939,15 @@ def run_cosmological_domain(
     subcycled = (not rung_mode) and n_sub > 1 and split != "none"
     fkw = dict(deconvolve_p=deconvolve_p, split=split, grad_order=grad_order,
                interlace=interlace, softening=softening)
+    # the rung tiers keep the cells packing (the masked interior kernel
+    # shares the cells geometry, and mixing the columns tier's
+    # field-encoded overflow word with the cells counts on one channel
+    # would confuse the driver's heal) — columns applies to the plain and
+    # subcycled paths
+    fkw_s = fkw if rung_mode else fkw | dict(
+        shortrange=shortrange, col_capacity=col_capacity,
+        col_window=col_window,
+    )
     if rung_mode:
         long_acc = make_domain_p3m_local(cosmo, geom, eps, part="long", **fkw)
         short_acc = make_domain_p3m_local(cosmo, geom, eps, part="short", **fkw)
@@ -909,9 +957,11 @@ def run_cosmological_domain(
         )
     elif subcycled:
         long_acc = make_domain_p3m_local(cosmo, geom, eps, part="long", **fkw)
-        short_acc = make_domain_p3m_local(cosmo, geom, eps, part="short", **fkw)
+        short_acc = make_domain_p3m_local(
+            cosmo, geom, eps, part="short", **fkw_s
+        )
     else:
-        local_acc = make_domain_p3m_local(cosmo, geom, eps, **fkw)
+        local_acc = make_domain_p3m_local(cosmo, geom, eps, **fkw_s)
 
     a_grid = np.asarray(a_grid, dtype=np.float64)
     K1, Dr, K2, _ = cosmo_kick_drift_factors(cosmo, a_grid)
@@ -1071,10 +1121,15 @@ def run_cosmological_domain(
             (pos_l, vel_l, mass_l, _, _, ov_ex, ov_bk), _ = jax.lax.scan(
                 body, init, xs
             )
+            # pmax, not psum: with the columns tier the overflow word is
+            # field-encoded (bucket*65536 + window) and summing across
+            # devices could bleed the window field into the bucket field;
+            # the max word keeps the bucket field dominant — the heal
+            # priority the driver wants
             return (
                 pos_l, vel_l, mass_l,
                 jax.lax.psum(ov_ex, axis_name),
-                jax.lax.psum(ov_bk, axis_name),
+                jax.lax.pmax(ov_bk, axis_name),
             )
 
         g0, ov0 = local_acc(pos_l, mass_l, t0)
@@ -1100,9 +1155,11 @@ def run_cosmological_domain(
         (pos_l, vel_l, mass_l, _, ov_ex, ov_bk), _ = jax.lax.scan(
             body, init, xs
         )
+        # pmax for the (possibly field-encoded) bucket word — see the
+        # subcycled branch
         return (
             pos_l, vel_l, mass_l,
-            jax.lax.psum(ov_ex, axis_name), jax.lax.psum(ov_bk, axis_name),
+            jax.lax.psum(ov_ex, axis_name), jax.lax.pmax(ov_bk, axis_name),
         )
 
     n_scalar_out = 5 if rung_mode else 2

@@ -1236,16 +1236,43 @@ def _run_simulation_domain(
         )
         + f"(seed={seed}, start_idx={start_idx})"
     )
+    # short-range tier for the plain/subcycled paths: columns beyond 64k
+    # particles (the single-device production default); the rung paths
+    # keep the cells packing (see run_cosmological_domain)
+    tier = (
+        "columns"
+        if (
+            not rungs
+            and config.solver == "p3m"
+            and _resolved_shortrange(config) == "columns"
+        )
+        else "cells"
+    )
+    ck = cw = 0
+    if tier == "columns":
+        from nbody.forces.p3m_columns import column_window
+
+        # size to the DOMAIN geometry's ncell (slab-divisibility can make
+        # it differ from the single-device tier's): mean column + 6 sigma
+        # Poisson tail, 128-lane aligned (cf. column_params)
+        mean_col = config.n_particles / geom.ncell**2
+        ck = config.column_capacity or (
+            -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128
+        )
+        cw = config.column_window or 0
+
     log(
         f"Domain decomposition: {n_dev}x1x1 "
         f"({geom.ncell} chaining cells, {C} slots/device, "
-        f"bucket capacity {geom.bucket_capacity})"
+        f"bucket capacity {geom.bucket_capacity}, short-range tier {tier}"
+        + (f", column capacity {ck}" if tier == "columns" else "")
+        + ")"
     )
 
     rcap = config.rung_capacity or 128
 
     def run_segment(dst, lo, hi):
-        nonlocal geom, E, rcap
+        nonlocal geom, E, rcap, ck, cw
         attempts = 5
         while attempts > 0:
             res = run_cosmological_domain(
@@ -1261,6 +1288,9 @@ def _run_simulation_domain(
                 eta_disp=config.step_eta_disp,
                 eta_acc=config.step_eta_acc,
                 target_capacity=rcap,
+                shortrange=tier,
+                col_capacity=ck or None,
+                col_window=cw or None,
             )
             ov_b, ov_e = int(res.bucket_overflow), int(res.exchange_overflow)
             ov_t = int(res.target_overflow) if rungs else 0
@@ -1294,7 +1324,27 @@ def _run_simulation_domain(
                     f"rung target-plane overflow ({ov_t} particles) — "
                     f"doubling rung capacity to {rcap}, re-running segment"
                 )
-            if ov_b:
+            if ov_b and tier == "columns":
+                # field-encoded word: bucket/ghost spills ride the high
+                # bits (heal = col_capacity), window misses the low 16
+                # (heal = widen the window — much cheaper)
+                cur_w = cw or column_window(config.box, geom.r_cut, ck)
+                if (ov_b >> 16) == 0:
+                    cw = -(-int(1.5 * cur_w) // 128) * 128
+                    log(
+                        f"column z-window misses inside scan "
+                        f"({ov_b & 0xffff} slots) — widening z-window to "
+                        f"{cw}, re-running segment"
+                    )
+                else:
+                    ck *= 2
+                    cw = -(-int(1.5 * cur_w) // 128) * 128 if cw else 0
+                    log(
+                        f"column bucket overflow inside scan "
+                        f"({ov_b >> 16} particles) — doubling column "
+                        f"capacity to {ck}, re-running segment"
+                    )
+            elif ov_b:
                 new_cap = 2 * geom.bucket_capacity
                 log(
                     f"P3M bucket overflow inside scan ({ov_b} particles) — "

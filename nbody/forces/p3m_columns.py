@@ -438,3 +438,300 @@ def p3m_short_columns_pallas(
     # driver wants.
     ov = jnp.minimum(ov_b, 32767) * 65536 + jnp.minimum(ov_w, 65535)
     return G * acc.astype(pos.dtype), ov
+
+
+# ---------------------------------------------------------------------------
+# Slab-local (multi-chip) column tier
+# ---------------------------------------------------------------------------
+
+
+def build_local_column_plane(pos_l, mass_l, *, box: float, r_cut: float,
+                             ncell: int, n_dev: int, col_capacity: int,
+                             window: int, axis_name: str, chunk: int = 256):
+    """Local-slab sibling of :func:`build_column_plane` for the domain
+    decomposition (`nbody.distributed.domain`): columns are keyed by
+    (x, y), the slab axis is x, so a device owns nxl = ncell/n_dev
+    x-rows of full-height z columns.  z periodicity (ghost copies at
+    each column end) and y periodicity (local wrap ring) are untouched;
+    the two x-halo rows arrive from the neighbours via ``ppermute`` —
+    whole y-padded rows, so corner columns come along for free — with
+    the +-box x shift baked in at the ring wrap.
+
+    Window tables are computed AFTER halo assembly (the x-neighbour
+    fences live in the received halo rows).  Returns (plane
+    (8, (nxl+2) * P * stride), ws ((nxl*ncell) * 9 * maxch,), nch,
+    overflow_bucket, overflow_window, gidx (C,)) — overflow_bucket
+    counts resident particles beyond CK plus z-ghost demand beyond gz
+    (heal: col_capacity), overflow_window the exact window misses
+    (heal: window); ``gidx`` maps resident rows to their padded slot
+    (others to the sentinel row).
+    """
+    d = jax.lax.axis_index(axis_name)
+    C = pos_l.shape[0]
+    dtype = jnp.float32
+    CK = -(-col_capacity // 128) * 128
+    gz = ghost_slots(CK)
+    stride = CK + 2 * gz
+    W = min(-(-window // 128) * 128, stride)
+    if CK % chunk:
+        chunk = 128
+    maxch = CK // chunk
+    nxl = ncell // n_dev
+    ncol_l = nxl * ncell
+    P = ncell + 2
+    zmargin = 1.0001 * r_cut
+
+    posw = jnp.mod(pos_l, box).astype(dtype)
+    massf = mass_l.astype(dtype)
+    valid = massf > 0
+    cx = jnp.clip((posw[:, 0] * (ncell / box)).astype(jnp.int32),
+                  0, ncell - 1)
+    cy = jnp.clip((posw[:, 1] * (ncell / box)).astype(jnp.int32),
+                  0, ncell - 1)
+    cxl = cx - d * nxl
+    resident = valid & (cxl >= 0) & (cxl < nxl)
+    col = jnp.where(resident, cxl * ncell + cy, ncol_l)
+    zq = jnp.clip(
+        (posw[:, 2] * ((1 << _ZBITS) / box)).astype(jnp.int32),
+        0, (1 << _ZBITS) - 1,
+    )
+    order = jnp.argsort((col << _ZBITS) | zq)
+    pos_s = posw[order]
+    mass_s = massf[order]
+    col_s = col[order]
+
+    counts = jnp.bincount(col, length=ncol_l + 1)[:-1].astype(jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    rank = jnp.arange(C, dtype=jnp.int32) - starts[
+        jnp.clip(col_s, 0, ncol_l - 1)
+    ]
+    ok = (rank < CK) & (col_s < ncol_l)
+    overflow_b = (jnp.sum(resident) - jnp.sum(ok)).astype(jnp.int32)
+
+    # ---- interior scatter (z-ascending within each local column) -------
+    z_pad = box + 3.0 * r_cut
+    defaults = jnp.asarray([-8.0 * r_cut, -8.0 * r_cut, z_pad, 0.0], dtype)
+    slot = jnp.where(ok, col_s * stride + gz + rank, ncol_l * stride)
+    data = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
+    buf = (
+        jnp.broadcast_to(defaults, (ncol_l * stride + 1, 4))
+        .at[slot]
+        .set(data)[: ncol_l * stride]
+    )
+
+    # ---- z ghosts (identical per-column logic to build_column_plane:
+    # z is not decomposed) ------------------------------------------------
+    g = jnp.arange(gz, dtype=jnp.int32)
+    cols = jnp.arange(ncol_l, dtype=jnp.int32)
+    in_back = (resident & (posw[:, 2] <= zmargin)).astype(jnp.int32)
+    in_front = (resident & (posw[:, 2] >= box - zmargin)).astype(jnp.int32)
+    nb = jnp.bincount(col, weights=in_back, length=ncol_l + 1)[:-1]
+    nf = jnp.bincount(col, weights=in_front, length=ncol_l + 1)[:-1]
+    ov_g = (
+        jnp.sum(jnp.maximum(nb - gz, 0)) + jnp.sum(jnp.maximum(nf - gz, 0))
+    ).astype(jnp.int32)
+    nmax = max(C - 1, 0)
+    src_b = starts[:, None] + g[None, :]
+    valid_b = g[None, :] < jnp.minimum(counts, CK)[:, None]
+    zb = pos_s[jnp.clip(src_b, 0, nmax), 2]
+    valid_b = valid_b & (zb <= zmargin)
+    dst_b = jnp.where(
+        valid_b,
+        cols[:, None] * stride + gz + jnp.minimum(counts, CK)[:, None]
+        + g[None, :],
+        ncol_l * stride,
+    )
+    vals_b = jnp.concatenate(
+        [
+            pos_s[jnp.clip(src_b, 0, nmax), 0:2],
+            (zb + box)[..., None],
+            mass_s[jnp.clip(src_b, 0, nmax)][..., None],
+        ],
+        axis=-1,
+    )
+    buf = (
+        jnp.concatenate([buf, defaults[None, :]], axis=0)
+        .at[dst_b.reshape(-1)]
+        .set(vals_b.reshape(-1, 4))[: ncol_l * stride]
+    )
+    src_f = (
+        starts[:, None] + jnp.minimum(counts, CK)[:, None] - gz + g[None, :]
+    )
+    valid_f = src_f >= starts[:, None]
+    zf = pos_s[jnp.clip(src_f, 0, nmax), 2]
+    valid_f = valid_f & (zf >= box - zmargin)
+    vals_f = jnp.concatenate(
+        [
+            pos_s[jnp.clip(src_f, 0, nmax), 0:2],
+            (zf - box)[..., None],
+            mass_s[jnp.clip(src_f, 0, nmax)][..., None],
+        ],
+        axis=-1,
+    )
+    front_default = jnp.asarray(
+        [-8.0 * r_cut, -8.0 * r_cut, -2.0 * box, 0.0], dtype
+    )
+    front = jnp.where(valid_f[..., None], vals_f, front_default)
+    buf = buf.reshape(ncol_l, stride, 4).at[:, :gz].set(front)
+
+    # ---- y ghost ring (local wrap) + x halos (ppermute) -----------------
+    grid4 = buf.reshape(nxl, ncell, stride, 4)
+    padded = jnp.pad(grid4, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="wrap")
+
+    def shifted_y(sl, delta):
+        lo_ = padded[:, sl]
+        return lo_.at[..., 1].add(jnp.where(lo_[..., 3] > 0, delta, 0.0))
+
+    padded = padded.at[:, 0].set(shifted_y(0, -box))
+    padded = padded.at[:, P - 1].set(shifted_y(P - 1, box))
+
+    # (nxl, P, stride, 4) -> zero-bounded (nxl+2) rows, then fill halos
+    zero_row = jnp.broadcast_to(defaults, (1, P, stride, 4))
+    p5 = jnp.concatenate([zero_row, padded, zero_row], axis=0)
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    from_left = jax.lax.ppermute(p5[nxl], axis_name, fwd)
+    from_right = jax.lax.ppermute(p5[1], axis_name, bwd)
+    shift_l = jnp.where(d == 0, -box, 0.0).astype(dtype)
+    shift_r = jnp.where(d == n_dev - 1, box, 0.0).astype(dtype)
+    from_left = from_left.at[..., 0].add(
+        jnp.where(from_left[..., 3] > 0, shift_l, 0.0)
+    )
+    from_right = from_right.at[..., 0].add(
+        jnp.where(from_right[..., 3] > 0, shift_r, 0.0)
+    )
+    p5 = p5.at[0].set(from_left).at[nxl + 1].set(from_right)
+
+    plane4 = p5.reshape((nxl + 2) * P * stride, 4)
+    plane = jnp.concatenate(
+        [
+            jnp.moveaxis(plane4, -1, 0),
+            jnp.zeros((4, (nxl + 2) * P * stride), dtype),
+        ],
+        axis=0,
+    )
+
+    # ---- window tables (AFTER halo assembly: x-neighbour fences live in
+    # the received rows) ---------------------------------------------------
+    zcols_pad = plane4[:, 2].reshape((nxl + 2) * P, stride)
+    fence = zcols_pad[:, ::128]  # ((nxl+2)*P, stride/128) ascending
+    ch = jnp.arange(maxch, dtype=jnp.int32)
+    nch = -(-jnp.minimum(counts, CK) // chunk)
+    idx0 = starts[:, None] + ch[None, :] * chunk
+    last = starts[:, None] + jnp.minimum(counts, CK)[:, None] - 1
+    zmin = pos_s[jnp.clip(idx0, 0, nmax), 2]
+    zmax = pos_s[jnp.clip(jnp.minimum(idx0 + chunk - 1, last), 0, nmax), 2]
+    chunk_ok = ch[None, :] < nch[:, None]
+
+    ic_x = cols // ncell  # local x row
+    ic_y = cols % ncell
+    ws_list = []
+    ov_w = jnp.int32(0)
+    for o2 in range(9):
+        dxo, dyo = o2 // 3 - 1, o2 % 3 - 1
+        nc = (ic_x + 1 + dxo) * P + (ic_y + 1 + dyo)  # padded index
+        fj = fence[nc]
+        qlo = (zmin - r_cut)[:, :, None]
+        qhi = (zmax + r_cut)[:, :, None]
+        cnt_lo = jnp.sum(fj[:, None, :] <= qlo, axis=-1)
+        start = jnp.clip(
+            (jnp.maximum(cnt_lo - 1, 0)) * 128, 0, stride - W
+        ).astype(jnp.int32)
+        hi_exact = jnp.sum(zcols_pad[nc][:, None, :] < qhi, axis=-1)
+        ov_w = ov_w + jnp.sum(
+            jnp.where(chunk_ok, jnp.maximum(hi_exact - (start + W), 0), 0)
+        ).astype(jnp.int32)
+        ws_list.append(start)
+    ws = jnp.stack(ws_list, axis=1).reshape(ncol_l * 9 * maxch)
+    overflow_b = overflow_b + ov_g
+
+    # particle -> padded slot for the gather-back
+    pc = (jnp.clip(cxl, 0, nxl - 1) + 1) * P + (cy + 1)
+    sentinel = (nxl + 2) * P * stride
+    gidx_s = jnp.where(ok, pc[order] * stride + gz + rank, sentinel)
+    gidx = (
+        jnp.full((C,), sentinel, jnp.int32)
+        .at[order]
+        .set(gidx_s.astype(jnp.int32))
+    )
+    return plane, ws, nch.astype(jnp.int32), overflow_b, ov_w, gidx
+
+
+def p3m_short_columns_local(pos_l, mass_l, *, box: float, eps: float,
+                            r_s: float, r_cut: float, G: float = 1.0,
+                            ncell: int, n_dev: int, col_capacity: int,
+                            window: int, axis_name: str,
+                            split: str = "gaussian",
+                            softening: str = "plummer",
+                            interpret: bool | None = None,
+                            chunk: int = 256):
+    """Inside-shard_map column-tier short-range force on a local slab.
+
+    Same kernel as :func:`p3m_short_columns_pallas` over the local
+    ghost-padded plane from :func:`build_local_column_plane`.  Returns
+    (acc (C, 3), overflow) with the same field-encoded overflow word
+    (bucket/ghost * 65536 + window misses), NOT psum'd — the caller
+    reduces.
+    """
+    if box / ncell < r_cut - 1e-9:
+        raise ValueError(f"column size {box / ncell:.3f} < r_cut {r_cut:.3f}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dtype = jnp.float32
+    CK = -(-col_capacity // 128) * 128
+    gz = ghost_slots(CK)
+    if CK % chunk:
+        chunk = 128
+    stride = CK + 2 * gz
+    W = min(-(-window // 128) * 128, stride)
+    maxch = CK // chunk
+    nxl = ncell // n_dev
+    P = ncell + 2
+
+    plane, ws, nch, ov_b, ov_w, gidx = build_local_column_plane(
+        pos_l, mass_l, box=box, r_cut=float(r_cut), ncell=ncell,
+        n_dev=n_dev, col_capacity=CK, window=W, axis_name=axis_name,
+        chunk=chunk,
+    )
+
+    def i_map(ic, o2, *_):
+        return (0, (ic // ncell + 1) * P + (ic % ncell + 1))
+
+    def j_map(ic, o2, *_):
+        return (
+            0,
+            (ic // ncell + 1 + o2 // 3 - 1) * P
+            + (ic % ncell + 1 + o2 % 3 - 1),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nxl * ncell, 9),
+        in_specs=[
+            pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, stride), j_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _column_kernel,
+            ncell=ncell, stride=stride, W=W, maxch=maxch, gz=gz,
+            chunk=chunk,
+            eps2=float(eps) ** 2, r_s=float(r_s), r_cut=float(r_cut),
+            split=split, softening=softening,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
+        interpret=interpret,
+    )(ws, nch, plane, plane)
+
+    acc_buckets = jnp.concatenate(
+        [out[:3].reshape(3, -1).T, jnp.zeros((1, 3), dtype)], axis=0
+    )
+    acc = acc_buckets[gidx]
+    ov = jnp.minimum(ov_b, 32767) * 65536 + jnp.minimum(ov_w, 65535)
+    return G * acc.astype(pos_l.dtype), ov

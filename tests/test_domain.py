@@ -703,3 +703,107 @@ class TestDomainRungs:
             np.asarray(final.vel), np.asarray(ref.vel)[idx],
             rtol=2e-3, atol=2e-3,
         )
+
+
+class TestDomainColumns:
+    """Slab-local column short-range tier (x-halo rows via ppermute,
+    window tables computed after halo assembly)."""
+
+    def test_columns_force_matches_cells(self, mesh8):
+        from nbody.forces.p3m_columns import column_params
+
+        n, box, nmesh = 4096, 80.0, 48
+        cosmo, state = _cosmo_system(n, box, seed=51, dtype=jnp.float32)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+
+        acc_cells, geom = make_domain_p3m_force(
+            cosmo, box, nmesh, mesh8, eps=0.1, n_global=n, split="spline",
+            softening="spline",
+        )
+        _, _, _, ck, _ = column_params(box, nmesh, n)
+        acc_cols, _ = make_domain_p3m_force(
+            cosmo, box, nmesh, mesh8, eps=0.1, n_global=n, split="spline",
+            softening="spline", shortrange="columns", col_capacity=ck,
+        )
+        a = jnp.asarray(0.5, jnp.float32)
+        g1, ov1 = jax.jit(acc_cells)(st.pos, st.mass, a)
+        g2, ov2 = jax.jit(acc_cols)(st.pos, st.mass, a)
+        assert int(ov1) == 0 and int(ov2) == 0
+        valid = np.asarray(st.mass) > 0
+        rel = np.linalg.norm(
+            np.asarray(g2)[valid] - np.asarray(g1)[valid], axis=-1
+        ) / np.maximum(np.linalg.norm(np.asarray(g1)[valid], axis=-1), 1e-12)
+        assert np.median(rel) < 1e-6 and rel.max() < 1e-4
+
+    def test_columns_force_matches_single_device_tier(self, mesh8):
+        """Domain columns == the single-device column kernel on the same
+        discretization (same CK/window auto knobs)."""
+        from nbody.forces.p3m import p3m_acc
+
+        n, box, nmesh = 4096, 80.0, 48
+        cosmo, state = _cosmo_system(n, box, seed=52, dtype=jnp.float32)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        from nbody.forces.p3m_columns import column_params
+
+        _, _, _, ck, _ = column_params(box, nmesh, n)
+        acc_fn, _ = make_domain_p3m_force(
+            cosmo, box, nmesh, mesh8, eps=0.1, n_global=n, split="spline",
+            softening="spline", shortrange="columns", col_capacity=ck,
+        )
+        g, ov = jax.jit(acc_fn)(st.pos, st.mass, jnp.asarray(0.5, jnp.float32))
+        assert int(ov) == 0
+
+        pos32 = state.pos.astype(jnp.float32)
+        mass32 = state.mass.astype(jnp.float32)
+        ref = p3m_acc(
+            pos32, mass32, box, nmesh, G=u.COSMO.G, eps=0.1,
+            shortrange="columns", split="spline", softening="spline",
+        ) / 0.5
+        g = np.asarray(g)
+        valid = np.asarray(st.mass) > 0
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(pos32))
+        dist, idx = tree.query(np.asarray(st.pos)[valid])
+        assert dist.max() == 0.0
+        rr = np.asarray(ref)[idx]
+        gg = g[valid]
+        rel = np.linalg.norm(gg - rr, axis=-1) / np.maximum(
+            np.linalg.norm(rr, axis=-1), 1e-12
+        )
+        assert np.median(rel) < 1e-5 and rel.max() < 1e-4
+
+    def test_columns_run_matches_cells_run(self, mesh8):
+        """A short domain run on the columns tier lands on the cells-tier
+        trajectory (same split physics, different packing), incl. the
+        subcycled path."""
+        from nbody.integrate.cosmo_stepping import log_a_steps
+        from nbody.forces.p3m_columns import column_params
+
+        n, box, nmesh = 2048, 80.0, 48
+        cosmo, state = _cosmo_system(n, box, seed=53, dtype=jnp.float32)
+        a_grid = log_a_steps(0.5, 0.6, 4)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        _, _, _, ck, _ = column_params(box, nmesh, n)
+
+        kw = dict(box=box, nmesh=nmesh, eps=0.1, n_global=n,
+                  split="spline", softening="spline", subcycles=2)
+        res_cells = run_cosmological_domain(st, cosmo, a_grid, mesh8, **kw)
+        res_cols = run_cosmological_domain(
+            st, cosmo, a_grid, mesh8, shortrange="columns",
+            col_capacity=ck, **kw,
+        )
+        assert int(res_cells.bucket_overflow) == 0
+        assert int(res_cols.bucket_overflow) == 0
+        fc = domain_gather(res_cells.state)
+        fo = domain_gather(res_cols.state)
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(fc.pos))
+        dist, idx = tree.query(np.asarray(fo.pos))
+        assert len(set(idx.tolist())) == n
+        assert dist.max() < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(fo.vel), np.asarray(fc.vel)[idx],
+            rtol=2e-3, atol=2e-3,
+        )

@@ -380,6 +380,25 @@ class TestDomainDriver:
         log = (tmp_path / "run.log").read_text()
         assert "Rung population" in log
 
+    def test_domain_columns_tier_end_to_end(self, tmp_path):
+        """devices>1 + shortrange='columns': the column-packed tier runs
+        through the driver's domain path (auto capacity sized to the
+        domain geometry, staged window/capacity heal)."""
+        import jax
+
+        cfg = self.DOMAIN.replace(
+            shortrange="columns",
+            n_steps=4,
+            output=self.DOMAIN.output.replace(
+                dir=str(tmp_path), snapshot_times=(1.0,)
+            ),
+        )
+        res = run_simulation(cfg, seed=9, workdir=str(tmp_path))
+        assert res.state.n == cfg.n_particles
+        assert bool(jax.numpy.isfinite(res.state.pos).all())
+        log = (tmp_path / "run.log").read_text()
+        assert "short-range tier columns" in log
+
     def test_domain_rejects_pp(self):
         with pytest.raises(ValueError):
             run_simulation(
