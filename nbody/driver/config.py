@@ -116,6 +116,12 @@ class SimulationConfig:
     # The role of CONCEPT's MPI launcher flag (`-n`,
     # reference `SnapVsPK/Ucertain.py:89`) — a config field instead of a
     # process topology, transparent to the rest of the run.
+    ic_realization: str = "host"  # devices>1 only: "host" realizes the
+    # ICs single-device and decomposes them (bitwise the same sample a
+    # devices=1 run of this seed would integrate), "domain" realizes
+    # slab-resident (~N/D per device end to end,
+    # nbody.distributed.ic.lpt_ic_domain) — a DIFFERENT deterministic
+    # sample of the same Gaussian ensemble (per-slab fold_in seeding).
 
     # -- time stepping -------------------------------------------------------
     a_begin: float = 0.02

@@ -1191,13 +1191,38 @@ def _run_simulation_domain(
         if ckpt is not None:
             state, extra = load_checkpoint(ckpt)
             start_idx = int(extra["grid_index"])
-    if state is None:
-        state = (
-            initial_state
-            if initial_state is not None
-            else realize_ics(config, seed, base=base)
+    dstate = None
+    if (
+        state is None
+        and initial_state is None
+        and config.ic_realization == "domain"
+    ):
+        # slab-resident realization: ~N/D per device end to end (a
+        # different deterministic sample of the same ensemble — see
+        # SimulationConfig.ic_realization)
+        from nbody.distributed.ic import lpt_ic_domain
+
+        anchor = base or config
+        power = _linear_power_fn(cosmo, anchor.transfer)
+        dstate, ov_ic = lpt_ic_domain(
+            jax.random.key(seed),
+            GRFSpec(nmesh=config.n_side, box=config.box),
+            power, cosmo, config.a_begin, mesh,
+            order=config.lpt_order,
+            amplitude=config.A_s / anchor.A_s,
         )
-    dstate = domain_decompose(state, mesh, config.box, ncell=geom.ncell)
+        if int(ov_ic):
+            raise RuntimeError(
+                f"slab IC exchange overflow ({int(ov_ic)} particles)"
+            )
+    if dstate is None:
+        if state is None:
+            state = (
+                initial_state
+                if initial_state is not None
+                else realize_ics(config, seed, base=base)
+            )
+        dstate = domain_decompose(state, mesh, config.box, ncell=geom.ncell)
     C = dstate.pos.shape[0] // n_dev
     E = max(64, C // 8)
 

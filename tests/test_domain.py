@@ -807,3 +807,80 @@ class TestDomainColumns:
             np.asarray(fo.vel), np.asarray(fc.vel)[idx],
             rtol=2e-3, atol=2e-3,
         )
+
+
+class TestDomainIC:
+    """Slab-resident LPT realization (nbody/distributed/ic.py): ICs born
+    ~N/D per device must carry the input linear spectrum and land
+    slab-resident."""
+
+    def test_realized_spectrum_matches_linear(self, mesh8):
+        from nbody.distributed.ic import lpt_ic_domain
+        from nbody.ic.gaussian import GRFSpec
+        from nbody.mesh.cic import density_to_delta
+        from nbody.mesh.spectrum import power_spectrum
+
+        nmesh, box, a0 = 32, 500.0, 0.02
+        cosmo = Cosmology()
+        spec = GRFSpec(nmesh=nmesh, box=box)
+        st, ov = lpt_ic_domain(
+            jax.random.key(3), spec, cosmo.linear_power, cosmo, a0, mesh8
+        )
+        assert int(ov) == 0
+        dense = domain_gather(st)
+        assert dense.n == nmesh**3
+
+        # every valid particle resident in its own slab
+        D = 8
+        C = st.pos.shape[0] // D
+        mass_np = np.asarray(st.mass)
+        pos_np = np.asarray(st.pos)
+        valid = mass_np > 0
+        slab_owner = np.clip(
+            (np.mod(pos_np[valid, 0], box) * (D / box)).astype(int), 0, D - 1
+        )
+        row_dev = np.repeat(np.arange(D), C)[valid]
+        np.testing.assert_array_equal(slab_owner, row_dev)
+
+        # total mass = Omega_m * rho_crit * V
+        rho_crit = 3.0 * cosmo.H0**2 / (8.0 * np.pi * u.COSMO.G)
+        np.testing.assert_allclose(
+            float(mass_np.sum()), rho_crit * cosmo.Omega_m * box**3,
+            rtol=1e-5,
+        )
+
+        # realized spectrum == D(a0)^2 P_lin on linear scales
+        grid = cic_deposit(dense.pos.astype(jnp.float64), box, nmesh)
+        delta = density_to_delta(grid, nmesh**3)
+        res = power_spectrum(delta, box, n_bins=12, deconvolve_p=1)
+        D1 = float(cosmo.growth_D(a0))
+        k = np.asarray(res.k)
+        nm = np.asarray(res.n_modes)
+        good = (nm > 30) & (k < 0.35 * np.pi * nmesh / box)
+        Plin = np.asarray(cosmo.linear_power(jnp.asarray(k[good]))) * D1**2
+        ratio = np.asarray(res.power)[good] / Plin
+        np.testing.assert_allclose(ratio.mean(), 1.0, atol=0.25)
+
+    def test_momentum_statistics_match_single_device(self, mesh8):
+        """Same ensemble, different sample: the slab realizer's momentum
+        rms must agree with the single-device realizer's (both 2LPT)."""
+        from nbody.distributed.ic import lpt_ic_domain
+        from nbody.ic.gaussian import GRFSpec
+        from nbody.ic.zeldovich import lpt_ic
+
+        nmesh, box, a0 = 32, 500.0, 0.05
+        cosmo = Cosmology()
+        spec = GRFSpec(nmesh=nmesh, box=box)
+        st, ov = lpt_ic_domain(
+            jax.random.key(7), spec, cosmo.linear_power, cosmo, a0, mesh8,
+            order=2,
+        )
+        assert int(ov) == 0
+        ref = lpt_ic(
+            jax.random.key(7), spec, cosmo.linear_power, cosmo, a0, order=2
+        )
+        dense = domain_gather(st)
+        rms_d = float(jnp.sqrt(jnp.mean(dense.vel**2)))
+        rms_r = float(jnp.sqrt(jnp.mean(ref.vel**2)))
+        assert rms_d == pytest.approx(rms_r, rel=0.15)
+        assert bool(jnp.isfinite(dense.pos).all())

@@ -399,6 +399,24 @@ class TestDomainDriver:
         log = (tmp_path / "run.log").read_text()
         assert "short-range tier columns" in log
 
+    def test_domain_ic_realization_end_to_end(self, tmp_path):
+        """ic_realization='domain': ICs realized slab-resident (~N/D per
+        device) feed the domain integrator directly — no O(N) host pass
+        at t=0."""
+        import jax
+
+        cfg = self.DOMAIN.replace(
+            ic_realization="domain",
+            n_steps=4,
+            output=self.DOMAIN.output.replace(
+                dir=str(tmp_path), snapshot_times=(1.0,)
+            ),
+        )
+        res = run_simulation(cfg, seed=11, workdir=str(tmp_path))
+        assert res.state.n == cfg.n_particles
+        assert bool(jax.numpy.isfinite(res.state.pos).all())
+        assert len(res.powerspecs) == 1
+
     def test_domain_rejects_pp(self):
         with pytest.raises(ValueError):
             run_simulation(
