@@ -934,7 +934,12 @@ def run_cosmological_domain(
         geom = domain_p3m_geometry(box, nmesh, D, n_global, axis_name=axis_name)
     C = state.pos.shape[0] // D
     E = exchange_capacity or max(64, C // 8)
-    rung_mode = int(rungs) >= 2 and split != "none"
+    if int(rungs) >= 2 and split == "none":
+        raise ValueError(
+            "rungs require a force split (split='none' is a pure PM "
+            "solver with no short-range pass to subdivide)"
+        )
+    rung_mode = int(rungs) >= 2
     n_sub = int(subcycles)
     subcycled = (not rung_mode) and n_sub > 1 and split != "none"
     fkw = dict(deconvolve_p=deconvolve_p, split=split, grad_order=grad_order,

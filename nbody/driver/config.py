@@ -179,6 +179,11 @@ class SimulationConfig:
                 f"time_stepping must be 'fixed' or 'adaptive', "
                 f"got {self.time_stepping!r}"
             )
+        if self.ic_realization not in ("host", "domain"):
+            raise ValueError(
+                f"ic_realization must be 'host' or 'domain', "
+                f"got {self.ic_realization!r}"
+            )
 
     # -- derived -------------------------------------------------------------
     @property

@@ -1152,6 +1152,12 @@ def _run_simulation_domain(
     rungs = config.rungs if config.rungs >= 2 else 0
     if rungs and config.solver != "p3m":
         raise ValueError("rungs requires the p3m solver")
+    if adaptive and not rungs and config.subcycles > 1:
+        raise ValueError(
+            "devices > 1 with adaptive stepping subdivides via rungs, not "
+            "uniform subcycles — set rungs >= 2 (or subcycles=1); the "
+            "single-device path composes adaptive x subcycles"
+        )
     t0 = time.perf_counter()
     cosmo = config.cosmology()
     mesh = device_mesh(n_dev)
@@ -1261,13 +1267,17 @@ def _run_simulation_domain(
         )
         + f"(seed={seed}, start_idx={start_idx})"
     )
-    # short-range tier for the plain/subcycled paths: columns beyond 64k
-    # particles (the single-device production default); the rung paths
-    # keep the cells packing (see run_cosmological_domain)
+    # short-range tier for the plain/subcycled FIXED-grid paths: columns
+    # beyond 64k particles (the single-device production default); the
+    # rung paths and the adaptive runner keep the cells packing (the
+    # masked interior kernel shares its geometry, and their overflow
+    # channel carries plain counts, not the columns tier's field-encoded
+    # word — see run_cosmological_domain)
     tier = (
         "columns"
         if (
             not rungs
+            and not adaptive
             and config.solver == "p3m"
             and _resolved_shortrange(config) == "columns"
         )

@@ -323,17 +323,13 @@ def p3m_acc(
             p3m_short_columns_pallas,
         )
 
-        from nbody.forces.p3m_columns import ghost_slots
-
         _, _, ncell_c, auto_ck, _ = column_params(box, nmesh, n)
         ck = capacity if capacity is not None else auto_ck
         # explicit window (driver prewarm/self-heal sets it from the
         # measured z-run demand — clustered columns need windows the
-        # capacity-scaled heuristic can't predict), clamped to the
-        # column stride
-        CK = -(-ck // 128) * 128
+        # capacity-scaled heuristic can't predict); the kernel clamps it
+        # to the column stride internally
         w = window if window else column_window(box, float(r_cut), ck)
-        w = min(w, CK + 2 * ghost_slots(CK))
         acc_short, overflow = p3m_short_columns_pallas(
             pos, mass, box, float(eps), float(r_s), float(r_cut), G=G,
             ncell=ncell_c, col_capacity=ck, window=w,

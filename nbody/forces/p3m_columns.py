@@ -83,6 +83,24 @@ def column_params(box: float, nmesh: int, n: int):
     )
 
 
+def _col_z_order(col, z, ncol: int, box: float):
+    """argsort by (column id, z) — z-ascending within each column.
+
+    For small column counts this packs both into one int32 key; the
+    packed key needs col < 2^(31 - _ZBITS) = 1024 or the shift wraps
+    int32 and SILENTLY scrambles the bucketing (forces corrupted with
+    overflow possibly 0), so larger grids take the two-pass stable-sort
+    path instead (jnp.argsort is stable)."""
+    zq = jnp.clip(
+        (z * ((1 << _ZBITS) / box)).astype(jnp.int32),
+        0, (1 << _ZBITS) - 1,
+    )
+    if ncol <= (2**31 - 1) >> _ZBITS:
+        return jnp.argsort((col << _ZBITS) | zq)
+    o1 = jnp.argsort(zq)
+    return o1[jnp.argsort(col[o1])]
+
+
 def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
                        col_capacity: int, window: int, chunk: int = 256):
     """Sort particles into z-ordered (x, y)-column buckets and assemble
@@ -114,11 +132,7 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
     cx = jnp.clip((posw[:, 0] * (ncell / box)).astype(jnp.int32), 0, ncell - 1)
     cy = jnp.clip((posw[:, 1] * (ncell / box)).astype(jnp.int32), 0, ncell - 1)
     col = cx * ncell + cy
-    zq = jnp.clip(
-        (posw[:, 2] * ((1 << _ZBITS) / box)).astype(jnp.int32),
-        0, (1 << _ZBITS) - 1,
-    )
-    order = jnp.argsort((col << _ZBITS) | zq)
+    order = _col_z_order(col, posw[:, 2], ncol, box)
     pos_s = posw[order]
     mass_s = massf[order]
     col_s = col[order]
@@ -491,11 +505,7 @@ def build_local_column_plane(pos_l, mass_l, *, box: float, r_cut: float,
     cxl = cx - d * nxl
     resident = valid & (cxl >= 0) & (cxl < nxl)
     col = jnp.where(resident, cxl * ncell + cy, ncol_l)
-    zq = jnp.clip(
-        (posw[:, 2] * ((1 << _ZBITS) / box)).astype(jnp.int32),
-        0, (1 << _ZBITS) - 1,
-    )
-    order = jnp.argsort((col << _ZBITS) | zq)
+    order = _col_z_order(col, posw[:, 2], ncol_l + 1, box)
     pos_s = posw[order]
     mass_s = massf[order]
     col_s = col[order]

@@ -150,3 +150,23 @@ def test_overflow_field_encoding_staged_heal():
         np.asarray(acc, np.float64) - np.asarray(ref), axis=1
     ) / np.maximum(np.linalg.norm(np.asarray(ref), axis=1), 1e-10)
     assert rel.max() < 1e-4
+
+
+def test_col_z_order_large_column_counts():
+    """Regression: the packed (col << 21) | zq sort key wraps int32 for
+    col >= 1024 and silently scrambles the bucketing; large grids must
+    take the two-pass stable sort.  Verify grouping + z order at
+    ncol = 2048."""
+    from nbody.forces.p3m_columns import _col_z_order
+
+    rng = np.random.default_rng(0)
+    n, ncol, box = 20000, 2048, 100.0
+    col = jnp.asarray(rng.integers(0, ncol, n), jnp.int32)
+    z = jnp.asarray(rng.uniform(0, box, n), jnp.float32)
+    order = np.asarray(_col_z_order(col, z, ncol, box))
+    cs = np.asarray(col)[order]
+    zs = np.asarray(z)[order]
+    assert (np.diff(cs) >= 0).all()  # columns grouped ascending
+    same = np.diff(cs) == 0
+    # z ascending within a column (up to the 2^21 quantisation)
+    assert (np.diff(zs)[same] > -box / 2**20).all()
