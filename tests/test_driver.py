@@ -417,6 +417,35 @@ class TestDomainDriver:
         assert bool(jax.numpy.isfinite(res.state.pos).all())
         assert len(res.powerspecs) == 1
 
+    def test_domain_adaptive_resume(self, tmp_path):
+        """Autosave checkpoints written at adaptive segment bounds resume
+        a domain adaptive run from the saved scale factor."""
+        cfg = self.DOMAIN.replace(
+            time_stepping="adaptive",
+            rungs=2,
+            subcycles=1,
+            a_begin=0.3,
+            a_end=0.4,
+            output=self.DOMAIN.output.replace(
+                dir=str(tmp_path), snapshot_times=(0.35,), snapshot=False,
+            ),
+        )
+        run_simulation(cfg, seed=13, workdir=str(tmp_path),
+                       checkpoint_every_steps=1)
+        from nbody.io.checkpoint import load_checkpoint
+
+        ckpt = tmp_path / "autosave" / "checkpoint.npz"
+        assert ckpt.exists()
+        _, extra = load_checkpoint(str(ckpt))
+        assert float(extra["a"]) == pytest.approx(0.35, rel=1e-6)
+
+        res = run_simulation(cfg, seed=13, workdir=str(tmp_path),
+                             resume=True)
+        assert float(res.state.time) == pytest.approx(0.4, rel=1e-6)
+        log = (tmp_path / "run.log").read_text()
+        # the resumed run starts from the checkpoint, not a_begin
+        assert log.count("Reached a = 0.3500") == 1
+
     def test_domain_rejects_pp(self):
         with pytest.raises(ValueError):
             run_simulation(
