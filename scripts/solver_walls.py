@@ -25,6 +25,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -52,7 +53,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from nbody.driver.config import OutputConfig, SimulationConfig
-    from nbody.driver.simulate import run_simulation
+    from nbody.driver.simulate import measure_powerspec, run_simulation
+    from parity_study import sigma8_from_table
 
     study = SimulationConfig(
         n_side=64, box=500.0, pm_grid=128, n_steps=142,
@@ -84,6 +86,9 @@ def main():
                 cfg.replace(n_side=8, pm_grid=32, n_steps=4), kw
             )
 
+    # reference sigma8 per solver (PPPMP3M/{PP,PM,P3M}/powerspec headers)
+    REF_S8 = {"pp": 0.877, "pm": 0.884, "p3m32": 0.877}
+
     rows = {}
     for name in args.solvers:
         cfg, kw = configs[name]
@@ -98,6 +103,20 @@ def main():
             "reference_s": BASE[name],
             "speedup": BASE[name] / wall,
         }
+        # growth ratio of this run (same sigma8 accounting as
+        # scripts/parity_study.py; reference corrected-sigma8 values in
+        # the powerspec headers for the three solvers)
+        mcfg = cfg.replace(output=cfg.output.replace(
+            powerspec_bins=48, powerspec_binning="concept",
+            realization_correction=True,
+        ))
+        k, modes, P, Pc, Pl = measure_powerspec(
+            res.state.pos, mcfg, a=1.0, seed=0
+        )
+        s8c = sigma8_from_table(k, Pc)
+        s8l = sigma8_from_table(k, Pl)
+        rows[name]["growth_ratio"] = s8c / s8l
+        rows[name]["reference_growth_ratio"] = REF_S8[name] / 0.816
         print(json.dumps(rows[name]), flush=True)
 
     if args.out:
