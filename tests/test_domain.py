@@ -884,3 +884,23 @@ class TestDomainIC:
         rms_r = float(jnp.sqrt(jnp.mean(ref.vel**2)))
         assert rms_d == pytest.approx(rms_r, rel=0.15)
         assert bool(jnp.isfinite(dense.pos).all())
+
+def test_domain_columns_window_overflow_reported(mesh8):
+    """A starved z-window on the domain columns tier must report
+    window-field misses (low 16 bits) through the pmax reduction —
+    the signal the driver's staged heal decodes."""
+    from nbody.forces.p3m_columns import column_params
+
+    n, box, nmesh = 4096, 80.0, 48
+    cosmo, state = _cosmo_system(n, box, seed=54, dtype=jnp.float32)
+    st = domain_decompose(state, mesh8, box, ncell=8)
+    _, _, _, ck, _ = column_params(box, nmesh, n)
+    acc_fn, _ = make_domain_p3m_force(
+        cosmo, box, nmesh, mesh8, eps=0.1, n_global=n, split="spline",
+        softening="spline", shortrange="columns", col_capacity=ck,
+        col_window=128,
+    )
+    _, ov = jax.jit(acc_fn)(st.pos, st.mass, jnp.asarray(0.5, jnp.float32))
+    ov = int(ov)
+    assert ov > 0
+    assert (ov >> 16) == 0 and (ov & 0xFFFF) > 0
