@@ -50,6 +50,12 @@ def _add_sim_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--interlace", action="store_const", const=True,
                    default=None)
+    p.add_argument(
+        "--pm-gradient", choices=("spectral", "fd2", "fd4"),
+        dest="pm_gradient",
+        help="mesh-force differentiation kernel (CONCEPT's "
+        "'differentiation' option; 'spectral' = its 'Fourier')",
+    )
     p.add_argument("--A-s", type=float, dest="A_s")
     p.add_argument("--n-s", type=float, dest="n_s")
     p.add_argument("--omega-cdm", type=float)
@@ -74,7 +80,7 @@ def _config_from_args(args) -> "SimulationConfig":
         "box", "n_side", "pm_grid", "solver", "a_begin", "a_end",
         "n_steps", "lpt_order", "A_s", "n_s", "omega_cdm", "h",
         "time_stepping", "subcycles", "rungs", "softening_kernel",
-        "force_split", "interlace", "devices",
+        "force_split", "interlace", "pm_gradient", "devices",
     ):
         v = getattr(args, flag, None)
         if v is not None:

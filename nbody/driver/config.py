@@ -88,6 +88,11 @@ class SimulationConfig:
     # Plummer-equivalent length) | 'plummer'
     deconvolve_p: int = 2
     interlace: bool = False
+    pm_gradient: str = "fd4"  # mesh-force differentiation kernel:
+    # 'fd4' (4-point k-space difference, Gadget-class default) | 'fd2' |
+    # 'spectral' (exact ik — CONCEPT's 'differentiation': 'Fourier'
+    # force option, reference `TheFeedingPipeline/NN.param:58`; its PM
+    # study ran this)
     force_split: str = "spline"  # P3M split: 'spline' (production, fastest —
     # what bench.py measures) | 'gaussian' (classic Ewald-style split)
     cell_capacity: int = 0  # P3M cell-list bucket capacity; 0 = auto
@@ -174,6 +179,11 @@ class SimulationConfig:
             raise ValueError(f"solver must be one of {SOLVERS}, got {self.solver!r}")
         if self.lpt_order not in (1, 2):
             raise ValueError(f"lpt_order must be 1 or 2, got {self.lpt_order}")
+        if self.pm_gradient not in ("spectral", "fd2", "fd4"):
+            raise ValueError(
+                f"pm_gradient must be 'spectral', 'fd2' or 'fd4', "
+                f"got {self.pm_gradient!r}"
+            )
         if self.time_stepping not in ("fixed", "adaptive"):
             raise ValueError(
                 f"time_stepping must be 'fixed' or 'adaptive', "

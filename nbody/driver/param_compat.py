@@ -148,6 +148,22 @@ def config_from_param_namespace(ns: dict) -> SimulationConfig:
             inter = grav.get(kw.get("solver", "pm")) or grav.get("pm") or grav.get("p3m")
         if isinstance(inter, tuple):
             kw["interlace"] = bool(inter[0])
+        # 'differentiation': {'all': {'gravity': {'p3m': 'Fourier'}}}
+        # (reference `TheFeedingPipeline/NN.param:55-60`) — CONCEPT's
+        # 'Fourier' is the exact-ik kernel ('spectral' here); an integer
+        # order N maps to the 2N-point finite difference
+        diff = po.get("differentiation")
+        while isinstance(diff, dict):
+            diff = (
+                diff.get("all") or diff.get("default")
+                or diff.get("gravity")
+                or diff.get(kw.get("solver", "pm"))
+                or diff.get("pm") or diff.get("p3m")
+            )
+        if isinstance(diff, str) and diff.lower() == "fourier":
+            kw["pm_gradient"] = "spectral"
+        elif isinstance(diff, (int, float)) and int(diff) in (1, 2):
+            kw["pm_gradient"] = f"fd{2 * int(diff)}"
 
     # softening kernel (CONCEPT: 'softening_kernel' = {'matter': ...} or
     # a plain string; its global default is 'spline', as is ours)

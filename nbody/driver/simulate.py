@@ -100,6 +100,7 @@ def build_cosmo_force(config: SimulationConfig, checked: bool = False) -> Callab
         pm_fn = make_pm_cosmo_force(
             cosmo, box, nmesh,
             deconvolve_p=config.deconvolve_p, interlace=config.interlace,
+            grad_order=config.pm_gradient,
         )
         if not checked:
             return pm_fn
@@ -131,6 +132,7 @@ def build_cosmo_force(config: SimulationConfig, checked: bool = False) -> Callab
             capacity=tier_cap,
             window=config.column_window or None,
             with_overflow=checked,
+            grad_order=config.pm_gradient,
         )
         if checked:
             acc, ov = out
@@ -161,6 +163,7 @@ def build_cosmo_force_split(config: SimulationConfig):
             capacity=tier_cap,
             window=config.column_window or None,
             part="long",
+            grad_order=config.pm_gradient,
         )
         return acc / jnp.asarray(a, pos.dtype)
 
@@ -323,6 +326,19 @@ def measure_powerspec_sharded(
                              seed=seed)
 
 
+@functools.partial(jax.jit, static_argnames=("nmesh", "order"))
+def _interlaced_delta_k(pos, box, nmesh: int, order: int):
+    """Interlaced measurement deposit -> delta(k), DC-zeroed, as ONE
+    jitted program: the TPU relay backend cannot move complex arrays
+    across the host boundary (the eager path died UNIMPLEMENTED on chip,
+    measured round 3), and jit keeps delta_k device-resident."""
+    from nbody.mesh.cic import bspline_deposit_interlaced_k
+
+    rho_k = bspline_deposit_interlaced_k(pos, box, nmesh, order=order)
+    delta_k = rho_k / (pos.shape[0] / nmesh**3)
+    return delta_k.at[0, 0, 0].set(0.0)
+
+
 def measure_powerspec(
     pos, config: SimulationConfig, a: float, path: str | None = None,
     seed: int | None = None,
@@ -348,11 +364,7 @@ def measure_powerspec(
     n_bins = config.output.powerspec_bins
     edges, order, interlace = _measurement_options(config)
     if interlace:
-        rho_k = bspline_deposit_interlaced_k(
-            pos, config.box, nmesh, order=order
-        )
-        delta_k = rho_k / (pos.shape[0] / nmesh**3)
-        delta_k = delta_k.at[0, 0, 0].set(0.0)
+        delta_k = _interlaced_delta_k(pos, config.box, nmesh, order)
         raw = power_spectrum(
             delta_k, config.box, n_bins=n_bins, is_fourier=True,
             edges=edges,
@@ -443,6 +455,63 @@ class SimulationResult:
     snapshots: list
     powerspecs: list
     wall_s: float
+    # the config the run actually finished with: capacity knobs include
+    # every self-heal / pre-warm the driver applied (config_run == config
+    # when nothing healed).  Pass it to the next same-geometry run to
+    # start at the learned capacities — run_simulation also does this
+    # automatically in-process via _CAPACITY_MEMORY.
+    config_run: SimulationConfig | None = None
+
+
+# In-process capacity carry-forward: runs with the same geometry cluster
+# statistically alike, so the capacities one seed/member learned through
+# self-heals and pre-warms apply to the next.  Each mid-run heal costs a
+# retrace + (cache-miss) compile + a segment re-run — 40-60 s each on
+# the remote compile service (measured round 3,
+# tests/data/parity/rungs_run/run.log) — while physics is
+# capacity-invariant, so starting later members at the learned values is
+# pure wall-clock.  Only fields the caller left at 0 (auto) participate:
+# explicit capacities (e.g. tests exercising the heal) are respected.
+_CAPACITY_FIELDS = (
+    "cell_capacity", "column_capacity", "column_window", "rung_capacity"
+)
+_CAPACITY_MEMORY: dict[tuple, dict[str, int]] = {}
+
+
+def _capacity_signature(config: SimulationConfig) -> tuple:
+    """Geometry + schedule fields that determine clustering statistics
+    (and hence capacity demand) for a run."""
+    return (
+        config.solver, config.box, config.n_side, config.mesh_size,
+        _resolved_shortrange(config), config.force_split,
+        config.rungs, config.subcycles, config.a_end, config.devices,
+    )
+
+
+def _apply_capacity_memory(config: SimulationConfig) -> SimulationConfig:
+    mem = _CAPACITY_MEMORY.get(_capacity_signature(config))
+    if not mem:
+        return config
+    learned = {
+        f: v
+        for f, v in mem.items()
+        if v and not getattr(config, f)
+    }
+    return config.replace(**learned) if learned else config
+
+
+def _record_capacity_memory(
+    config: SimulationConfig, cfg_run: SimulationConfig
+) -> None:
+    mem = _CAPACITY_MEMORY.setdefault(_capacity_signature(config), {})
+    for f in _CAPACITY_FIELDS:
+        v = getattr(cfg_run, f)
+        # record only driver-learned values (field was auto in the
+        # caller's config); heals/pre-warms only ever grow above the
+        # auto default, so applying them later can never shrink a run's
+        # capacity below what auto would have picked
+        if v and not getattr(config, f):
+            mem[f] = max(mem.get(f, 0), v)
 
 
 def run_simulation(
@@ -495,7 +564,7 @@ def run_simulation(
 
     t0 = time.perf_counter()
     cosmo = config.cosmology()
-    cfg_run = config
+    cfg_run = _apply_capacity_memory(config)
     acc_fn = build_cosmo_force(cfg_run, checked=True)
     adaptive = config.time_stepping == "adaptive"
     rungs = int(config.rungs)
@@ -1093,6 +1162,7 @@ def run_simulation(
                 prev = idx
             log_energy()
 
+    _record_capacity_memory(config, cfg_run)
     return SimulationResult(
         state=state,
         config=config,
@@ -1100,6 +1170,7 @@ def run_simulation(
         snapshots=snapshots,
         powerspecs=powerspecs,
         wall_s=time.perf_counter() - t0,
+        config_run=cfg_run,
     )
 
 
@@ -1283,6 +1354,10 @@ def _run_simulation_domain(
         )
         else "cells"
     )
+    # start at any capacities a previous same-geometry run learned through
+    # self-heals (see _CAPACITY_MEMORY) — mid-run heals cost a retrace +
+    # compile + segment re-run each
+    _mem = _CAPACITY_MEMORY.get(_capacity_signature(config), {})
     ck = cw = 0
     if tier == "columns":
         from nbody.forces.p3m_columns import column_window
@@ -1291,10 +1366,11 @@ def _run_simulation_domain(
         # it differ from the single-device tier's): mean column + 6 sigma
         # Poisson tail, 128-lane aligned (cf. column_params)
         mean_col = config.n_particles / geom.ncell**2
-        ck = config.column_capacity or (
-            -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128
+        ck = config.column_capacity or max(
+            -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128,
+            _mem.get("column_capacity", 0),
         )
-        cw = config.column_window or 0
+        cw = config.column_window or _mem.get("column_window", 0)
 
     log(
         f"Domain decomposition: {n_dev}x1x1 "
@@ -1304,7 +1380,22 @@ def _run_simulation_domain(
         + ")"
     )
 
-    rcap = config.rung_capacity or 128
+    rcap = config.rung_capacity or max(128, _mem.get("rung_capacity", 0))
+
+    def _record_domain_capacities() -> SimulationConfig:
+        """Record the healed knobs for the next same-geometry run and
+        return the config the run actually finished with."""
+        cfg_final = config.replace(**{
+            f: v
+            for f, v in (
+                ("rung_capacity", rcap if rungs else 0),
+                ("column_capacity", ck),
+                ("column_window", cw),
+            )
+            if v and not getattr(config, f)
+        })
+        _record_capacity_memory(config, cfg_final)
+        return cfg_final
 
     def run_segment(dst, lo, hi):
         nonlocal geom, E, rcap, ck, cw
@@ -1316,6 +1407,7 @@ def _run_simulation_domain(
                 n_global=config.n_particles, geom=geom, split=split,
                 deconvolve_p=config.deconvolve_p,
                 interlace=config.interlace,
+                grad_order=config.pm_gradient,
                 subcycles=config.subcycles,
                 softening=config.softening_kernel,
                 exchange_capacity=E,
@@ -1416,6 +1508,7 @@ def _run_simulation_domain(
                     geom=geom, split=split,
                     deconvolve_p=config.deconvolve_p,
                     interlace=config.interlace,
+                    grad_order=config.pm_gradient,
                     softening=config.softening_kernel,
                     exchange_capacity=E,
                     rungs=n_rungs_eff,
@@ -1529,6 +1622,7 @@ def _run_simulation_domain(
             snapshots=snapshots,
             powerspecs=powerspecs,
             wall_s=time.perf_counter() - t0,
+            config_run=_record_domain_capacities(),
         )
 
     with AsyncSnapshotWriter() as writer:
@@ -1585,4 +1679,5 @@ def _run_simulation_domain(
         snapshots=snapshots,
         powerspecs=powerspecs,
         wall_s=time.perf_counter() - t0,
+        config_run=_record_domain_capacities(),
     )

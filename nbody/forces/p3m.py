@@ -260,6 +260,7 @@ def p3m_acc(
     window: int | None = None,
     with_overflow: bool = False,
     part: str = "both",
+    grad_order: str = "fd4",
 ):
     """Full P3M acceleration: filtered PM far field + short-range
     correction.
@@ -300,6 +301,7 @@ def p3m_acc(
             interlace=interlace,
             longrange_split=float(r_s) if split == "gaussian" else 0.0,
             spline_split=float(r_cut) if split == "spline" else 0.0,
+            grad_order=grad_order,
         )
         if part == "long":
             return acc_long

@@ -241,18 +241,23 @@ def pm_acc(
     interlace: bool = False,
     longrange_split: float = 0.0,
     spline_split: float = 0.0,
+    grad_order: str = "fd4",
 ):
     """Newtonian periodic PM acceleration.
 
     lap phi = 4 pi G (rho - rho_mean); rho = mass / cell volume. The source
     amplitude entering the delta-Poisson solve is
     4 pi G rho_mean = 4 pi G M_tot / V.
+
+    ``grad_order`` picks the k-space differentiation kernel (see
+    :func:`gradient_kernel`) — CONCEPT's ``differentiation`` force option
+    ('Fourier' = 'spectral', reference `TheFeedingPipeline/NN.param:58`).
     """
     V = box**3
     amp = 4.0 * jnp.pi * G * jnp.sum(mass) / V
     return _pm_acc_impl(
         pos, mass, amp, box, nmesh, deconvolve_p, interlace, longrange_split,
-        spline_split=spline_split,
+        spline_split=spline_split, grad_order=grad_order,
     )
 
 
@@ -294,6 +299,7 @@ def make_pm_cosmo_force(
     nmesh: int,
     deconvolve_p: int = 2,
     interlace: bool = False,
+    grad_order: str = "fd4",
 ):
     """Factory for the comoving canonical-momentum force
     g(pos, mass, a) = -grad phi, lap phi = (3/2) Omega_m H0^2 delta / a —
@@ -303,7 +309,8 @@ def make_pm_cosmo_force(
     def acc_fn(pos, mass, a):
         amp = base / jnp.asarray(a, pos.dtype)
         return _pm_acc_impl(
-            pos, mass, amp, box, nmesh, deconvolve_p, interlace, 0.0
+            pos, mass, amp, box, nmesh, deconvolve_p, interlace, 0.0,
+            grad_order=grad_order,
         )
 
     return acc_fn

@@ -17,8 +17,20 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The axon TPU plugin (sitecustomize) pre-sets jax_platforms="axon,cpu";
 # the env var alone is too late, so force the config directly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True)
+def _clear_capacity_memory():
+    """Isolate tests from the driver's in-process capacity carry-forward
+    (same-geometry runs inherit healed capacities — deliberate in
+    production, surprising across unrelated tests)."""
+    yield
+    from nbody.driver import simulate
+
+    simulate._CAPACITY_MEMORY.clear()

@@ -264,6 +264,50 @@ class TestCellOverflowSelfHeal:
                 or "pre-warming P3M cell capacity" in logtxt)
         assert np.isfinite(np.asarray(res.state.pos)).all()
 
+    def test_capacity_memory_carries_forward(self, tmp_path):
+        """A second same-geometry run starts at the capacities the first
+        learned (in-process _CAPACITY_MEMORY): no pre-warm/heal re-jits —
+        each cost a retrace + compile + segment re-run on the chip
+        (measured round 3, tests/data/parity/rungs_run/run.log)."""
+        import jax.numpy as jnp
+
+        from nbody.core.types import ParticleState
+
+        cfg = TINY.replace(
+            solver="p3m",
+            pm_grid=32,
+            shortrange="cells",
+            a_begin=0.5,
+            n_steps=2,
+            output=TINY.output.replace(
+                snapshot_times=(), powerspec=False, snapshot=False,
+            ),
+        )
+        rng = np.random.default_rng(0)
+        n = 100
+        pos = 10.0 + 3.0 * rng.random((n, 3))
+        state = ParticleState.create(
+            pos=jnp.asarray(pos), vel=jnp.zeros((n, 3)),
+            mass=jnp.full((n,), 1e8), time=jnp.asarray(0.5),
+        )
+        d1, d2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+        res1 = run_simulation(cfg, seed=0, workdir=d1, initial_state=state)
+        # the clustered bucket (100 particles in one cell) forced a
+        # learned capacity above the auto heuristic, reported back
+        assert res1.config_run.cell_capacity >= 100
+        log1 = open(os.path.join(d1, "run.log")).read()
+        assert "pre-warming P3M cell capacity" in log1
+        res2 = run_simulation(cfg, seed=1, workdir=d2, initial_state=state)
+        log2 = open(os.path.join(d2, "run.log")).read()
+        assert "pre-warming" not in log2 and "doubling" not in log2
+        assert res2.config_run.cell_capacity == res1.config_run.cell_capacity
+        # explicit capacities are never overridden by the memory
+        res3 = run_simulation(
+            cfg.replace(cell_capacity=16), seed=2,
+            workdir=str(tmp_path / "r3"), initial_state=state,
+        )
+        assert res3.config_run.cell_capacity > 16  # healed back up
+
 
 class TestBatchedEnsemble:
     def test_batched_matches_sequential(self, tmp_path):

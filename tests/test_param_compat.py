@@ -48,6 +48,9 @@ class TestReferenceFiles:
         assert cfg.box == 500.0 and cfg.n_side == 32
         assert cfg.A_s == pytest.approx(2.105e-9)
         assert cfg.interlace is True  # p3m interlace (True, True)
+        # 'differentiation': {'all': {'gravity': {'p3m': 'Fourier'}}}
+        # (NN.param:55-60) -> the exact-ik kernel
+        assert cfg.pm_gradient == "spectral"
 
     def test_uncertain_param(self):
         cfg = load_concept_param(REF + "/SnapVsPK/Uncertain.param")
