@@ -3,7 +3,8 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 The metric is the production-solver rate: one full P3M gravity evaluation
-(PM far field on a 128^3 mesh + cell-list short-range correction) for
+(PM far field on a 128^3 mesh + column short-range correction, fused
+supercell tier: MXU CIC deposit + in-kernel PM readback) for
 2^20 particles delivers the same physics as N^2 pairwise interactions, so
 the effective rate is N^2 / t_eval — the same accounting by which the
 reference's CONCEPT P3M beats its PP solver 1000x at equal accuracy
@@ -80,7 +81,8 @@ def main() -> None:
             {
                 "metric": (
                     f"effective pairwise interactions/sec/chip "
-                    f"(P3M {nmesh}^3 mesh + spline cell kernel, N={n})"
+                    f"(P3M {nmesh}^3 mesh, fused supercell MXU deposit + "
+                    f"spline column kernel, N={n})"
                 ),
                 "value": rate_eff,
                 "unit": "interactions/s",

@@ -108,11 +108,14 @@ class SimulationConfig:
     # the capacity-scaled heuristic under-predicts — round-3 measured a
     # capacity-doubling ladder thrash without it) and doubles it on
     # overflow alongside the capacity.
-    shortrange: str = "auto"  # P3M short-range tier: 'auto' (columns
-    # beyond 64k particles) | 'columns' (z-sorted column kernel,
-    # production — at parity with cells on uniform states, ~5x faster
-    # clustered) | 'cells' (ghost-padded per-cell Pallas kernel) |
-    # 'allpairs' (dense)
+    shortrange: str = "auto"  # P3M short-range tier: 'auto'
+    # (supercell/columns beyond 64k particles) | 'supercell' (columns +
+    # fused MXU CIC deposit and in-kernel PM readback — production when
+    # the mesh tiles the chaining grid; single-device part='both' path,
+    # other paths fall back to columns on the same geometry) |
+    # 'columns' (z-sorted column kernel — at parity with cells on
+    # uniform states, ~5x faster clustered) | 'cells' (ghost-padded
+    # per-cell Pallas kernel) | 'allpairs' (dense)
 
     # -- parallelism ---------------------------------------------------------
     devices: int = 1  # device count for the run: 1 = single-device;

@@ -50,26 +50,53 @@ def _linear_power_fn(cosmo: Cosmology, transfer: str) -> Callable:
 def _resolved_shortrange(config: SimulationConfig) -> str:
     """The short-range tier p3m_acc will actually use for this config
     (mirrors its 'auto' rule) — the driver's capacity bookkeeping keys
-    on this."""
-    tier = config.shortrange
-    if tier == "auto":
-        tier = "columns" if config.n_particles > 65536 else "allpairs"
-    if tier in ("cells", "columns"):
-        from nbody.forces.p3m import p3m_short_params
+    on this.  'supercell' shares the columns tier's chaining geometry,
+    capacity knobs and field-encoded overflow word; its chaining grid is
+    the largest divisor of mesh_size (see supercell_ncell), which can be
+    coarser than the columns default."""
+    from nbody.forces.p3m import p3m_short_params, supercell_ncell
 
-        r_cut = p3m_short_params(
-            config.box, config.mesh_size, config.n_particles
-        )[1]
+    tier = config.shortrange
+    r_cut = p3m_short_params(
+        config.box, config.mesh_size, config.n_particles
+    )[1]
+    if tier == "auto":
+        if config.n_particles > 65536:
+            tier = (
+                "supercell"
+                if supercell_ncell(config.box, config.mesh_size, r_cut)
+                else "columns"
+            )
+        else:
+            tier = "allpairs"
+    if tier == "supercell" and not supercell_ncell(
+        config.box, config.mesh_size, r_cut
+    ):
+        tier = "columns"
+    if tier in ("cells", "columns", "supercell"):
         if config.box / r_cut < 3.0:
             tier = "allpairs"
     return tier
+
+
+def _tier_ncell(config: SimulationConfig, tier: str) -> int:
+    """Chaining-grid side of the resolved tier (the unit of the driver's
+    occupancy pre-warms and capacity heals)."""
+    from nbody.forces.p3m import p3m_short_params, supercell_ncell
+
+    r_cut = p3m_short_params(
+        config.box, config.mesh_size, config.n_particles
+    )[1]
+    if tier == "supercell":
+        return supercell_ncell(config.box, config.mesh_size, r_cut)
+    return max(3, int(config.box / r_cut))
 
 
 def _tier_capacity(config: SimulationConfig):
     """(field_name, value-or-None) of the capacity knob for the config's
     resolved short-range tier."""
     tier = _resolved_shortrange(config)
-    if tier == "columns":
+    if tier in ("columns", "supercell"):
         return "column_capacity", (config.column_capacity or None)
     return "cell_capacity", (config.cell_capacity or None)
 
@@ -180,6 +207,40 @@ def build_cosmo_force_split(config: SimulationConfig):
         return acc / jnp.asarray(a, pos.dtype), ov
 
     return long_fn, short_fn
+
+
+@functools.lru_cache(maxsize=64)
+def build_cosmo_force_both(config: SimulationConfig):
+    """acc_both_fn(pos, mass, a_short, a_long) -> (gs, gl, overflow) —
+    the fused boundary-tick evaluation for the split-Hamiltonian
+    integrators: one `p3m_acc(part='split')` call returns both halves
+    at the same positions (ONE plane build + MXU deposit on the
+    supercell tier; plain composition elsewhere), scaled by their own
+    1/a factors.  Memoized — see build_cosmo_force."""
+    if config.solver != "p3m":
+        raise ValueError("the fused split force applies to p3m only")
+    box, eps, G = config.box, config.eps, units.COSMO.G
+    nmesh = config.mesh_size
+    _, tier_cap = _tier_capacity(config)
+
+    def both_fn(pos, mass, a_s, a_l):
+        gl, gs, ov = p3m_acc(
+            pos, mass, box, nmesh, G=G, eps=eps,
+            deconvolve_p=config.deconvolve_p, interlace=config.interlace,
+            split=config.force_split, shortrange=config.shortrange,
+            softening=config.softening_kernel,
+            capacity=tier_cap,
+            window=config.column_window or None,
+            part="split",
+            grad_order=config.pm_gradient,
+        )
+        return (
+            gs / jnp.asarray(a_s, pos.dtype),
+            gl / jnp.asarray(a_l, pos.dtype),
+            ov,
+        )
+
+    return both_fn
 
 
 @functools.lru_cache(maxsize=64)
@@ -579,6 +640,14 @@ def run_simulation(
         if config.solver == "p3m" and config.subcycles > 1 and not rungs
         else None
     )
+    # fused boundary-tick force for the fixed-grid split integrators
+    # (the adaptive runner keeps separate halves — its while_loop
+    # machinery predates the fused call)
+    both_fn = (
+        build_cosmo_force_both(cfg_run)
+        if (split_fns is not None or rung_fns is not None) and not adaptive
+        else None
+    )
     n_sub_eff = 2 ** (rungs - 1) if rungs else max(1, config.subcycles)
 
     a_grid = log_a_steps(config.a_begin, config.a_end, config.n_steps)
@@ -663,18 +732,19 @@ def run_simulation(
     # kernel additionally rides the cells geometry (cell_capacity) with
     # its own overflow channel (see build_cosmo_force_rungs)
     tier = _resolved_shortrange(config)
-    cap_field = "column_capacity" if tier == "columns" else "cell_capacity"
+    col_like = tier in ("columns", "supercell")
+    cap_field = "column_capacity" if col_like else "cell_capacity"
 
     def current_capacity() -> int:
         cur = getattr(cfg_run, cap_field)
         if cur:
             return cur
-        if tier == "columns":
-            from nbody.forces.p3m_columns import column_params
-
-            return column_params(
-                config.box, config.mesh_size, config.n_particles
-            )[3]
+        if col_like:
+            # mean column + 6 sigma Poisson tail on the TIER's chaining
+            # grid (the supercell grid can be coarser than the columns
+            # default — cf. column_params / supercell_params)
+            mean_col = config.n_particles / _tier_ncell(config, tier) ** 2
+            return -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128
         from nbody.forces.p3m import p3m_short_params
 
         return p3m_short_params(
@@ -695,12 +765,14 @@ def run_simulation(
         return False
 
     def rebuild_forces() -> None:
-        nonlocal acc_fn, split_fns, rung_fns
+        nonlocal acc_fn, split_fns, rung_fns, both_fn
         acc_fn = build_cosmo_force(cfg_run, checked=True)
         if split_fns is not None:
             split_fns = build_cosmo_force_split(cfg_run)
         if rung_fns is not None:
             rung_fns = build_cosmo_force_rungs(cfg_run)
+        if both_fn is not None:
+            both_fn = build_cosmo_force_both(cfg_run)
 
     def prewarm_capacity(st) -> None:
         """Before a segment, bump the cell capacity to fit the CURRENT
@@ -719,23 +791,27 @@ def run_simulation(
         if ncell < 3:
             return
         pos = np.mod(np.asarray(st.pos), config.box)
+        # occupancy on the TIER's chaining grid (the supercell grid can
+        # be coarser than the cells/columns default int(box/r_cut))
+        nct = _tier_ncell(config, tier) if col_like else ncell
         c = np.clip(
-            (pos * (ncell / config.box)).astype(np.int64), 0, ncell - 1
+            (pos * (nct / config.box)).astype(np.int64), 0, nct - 1
         )
-        if tier == "columns":
+        if col_like:
             # per-COLUMN occupancy (the column tier's bucket unit)
-            cid = c[:, 0] * ncell + c[:, 1]
-            occ = int(np.bincount(cid, minlength=ncell**2).max())
+            cid = c[:, 0] * nct + c[:, 1]
+            occ = int(np.bincount(cid, minlength=nct**2).max())
             # z-WINDOW demand: a 256-chunk's sources live within
             # +- r_cut in z of the 9 neighbour columns, i.e. at most a
-            # 3-cell z-run of the densest neighbourhood.  The
+            # 3-cell z-run of the densest neighbourhood (cell z-height
+            # box/nct >= r_cut on every tier grid).  The
             # capacity-scaled heuristic under-predicts this for
             # clustered blobs (measured round 3: a 896->1792->3584
             # capacity ladder with ov_window NEVER shrinking) — measure
             # it instead and pre-warm config.column_window.
-            cid3 = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
-            cnt3 = np.bincount(cid3, minlength=ncell**3).reshape(
-                ncell, ncell, ncell
+            cid3 = (c[:, 0] * nct + c[:, 1]) * nct + c[:, 2]
+            cnt3 = np.bincount(cid3, minlength=nct**3).reshape(
+                nct, nct, nct
             )
             run3 = cnt3 + np.roll(cnt3, 1, axis=2) + np.roll(
                 cnt3, -1, axis=2
@@ -758,13 +834,16 @@ def run_simulation(
                 cfg_run = cfg_run.replace(column_window=needed_w)
                 rebuild_forces()
         else:
-            cid = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
-            occ = int(np.bincount(cid, minlength=ncell**3).max())
-        if rungs and tier == "columns":
+            cid = (c[:, 0] * nct + c[:, 1]) * nct + c[:, 2]
+            occ = int(np.bincount(cid, minlength=nct**3).max())
+        if rungs and col_like:
             # the masked interior kernel's SOURCE plane rides the cells
             # geometry regardless of the boundary tier — pre-warm its
-            # cell_capacity from the densest CELL too
-            cid3 = (c[:, 0] * ncell + c[:, 1]) * ncell + c[:, 2]
+            # cell_capacity from the densest CELL (int(box/r_cut) grid)
+            c3 = np.clip(
+                (pos * (ncell / config.box)).astype(np.int64), 0, ncell - 1
+            )
+            cid3 = (c3[:, 0] * ncell + c3[:, 1]) * ncell + c3[:, 2]
             occ3 = int(np.bincount(cid3, minlength=ncell**3).max())
             needed3 = -(-int(occ3 * 1.10 + 4) // 128) * 128
             from nbody.forces.p3m import p3m_short_params as _psp
@@ -866,7 +945,7 @@ def run_simulation(
                     f"re-running segment"
                 )
                 cfg_run = cfg_run.replace(cell_capacity=new_ccap)
-            if ov and tier == "columns" and (ov >> 16) == 0:
+            if ov and col_like and (ov >> 16) == 0:
                 # columns overflow with an empty bucket field = pure
                 # z-WINDOW misses — widen the window (+50%, a much
                 # cheaper work increase than doubling the capacity).
@@ -891,7 +970,7 @@ def run_simulation(
                 cfg_run = cfg_run.replace(column_window=new_w)
             elif ov:
                 new_cap = 2 * current_capacity()
-                if tier == "columns":
+                if col_like:
                     ov = ov >> 16  # decoded bucket/ghost field
                 log(
                     f"P3M bucket overflow inside scan ({ov} particles) — "
@@ -899,7 +978,7 @@ def run_simulation(
                     f"{new_cap}, re-running segment"
                 )
                 cfg_run = cfg_run.replace(**{cap_field: new_cap})
-                if tier == "columns" and cfg_run.column_window:
+                if col_like and cfg_run.column_window:
                     # keep the explicit window in step with the larger
                     # buckets
                     cfg_run = cfg_run.replace(
@@ -960,7 +1039,7 @@ def run_simulation(
             if sfns is not None:
                 new, ov = run_cosmological_subcycled(
                     st, cosmo, a_grid[prev : idx + 1], sfns[0], sfns[1],
-                    config.box, config.subcycles,
+                    config.box, config.subcycles, acc_both_fn=both_fn,
                 )
             else:
                 new, ov = run_cosmological_checked(
@@ -988,6 +1067,7 @@ def run_simulation(
                 config.box, rungs, config.box / config.mesh_size,
                 eta_disp=config.step_eta_disp,
                 eta_acc=config.step_eta_acc, eps=config.eps,
+                acc_both_fn=both_fn,
             )
             jax.block_until_ready(new.pos)
             seg_hists.clear()
@@ -1350,7 +1430,9 @@ def _run_simulation_domain(
             not rungs
             and not adaptive
             and config.solver == "p3m"
-            and _resolved_shortrange(config) == "columns"
+            # the domain tier has no supercell packing (fused deposit is
+            # single-device for now) — supercell resolves to columns here
+            and _resolved_shortrange(config) in ("columns", "supercell")
         )
         else "cells"
     )

@@ -266,16 +266,23 @@ def p3m_acc(
     correction.
 
     ``part``: 'both' (full force) | 'long' (mesh far field only) |
-    'short' (pair correction only) — the split halves feed
+    'short' (pair correction only) | 'split' (returns the 3-tuple
+    (acc_long, acc_short, overflow) from ONE evaluation — fused on the
+    supercell tier, composed elsewhere).  The split halves feed
     :func:`nbody.integrate.cosmo_stepping.run_cosmological_subcycled`,
-    which subcycles the short half inside each global step.
+    which subcycles the short half inside each global step; its
+    boundary ticks need both halves at the same positions, which is
+    what 'split' serves without a second plane build/deposit.
 
     Defaults follow the usual P3M practice: r_s = 1.25 cell widths,
     r_cut = 4.5 r_s (C(r_cut) < 2e-3).  ``shortrange`` picks the
     short-range tier: 'allpairs' (dense Pallas kernel, exact for any
     geometry), 'cells' (ghost-padded Pallas cell kernel,
-    O(N * 27 * capacity) — the production tier), or 'auto' (cells beyond
-    64k particles when the box admits a >= 3^3 cell grid).  ``split``
+    O(N * 27 * capacity)), 'columns' (z-sorted column packing),
+    'supercell' (columns + fused MXU deposit/PM-readback — the
+    production tier when the mesh tiles the chaining grid), or 'auto'
+    (supercell/columns beyond 64k particles when the box admits a
+    >= 3^3 cell grid).  ``split``
     picks the force split: 'gaussian' (Ewald erfc/exp) or 'spline'
     (polynomial — same accuracy class, cheaper per pair on the VPU).
 
@@ -290,8 +297,9 @@ def p3m_acc(
         r_s = 1.25 * cell
     if r_cut is None:
         r_cut = 4.5 * r_s
-    if part != "short":
-        acc_long = pm_acc(
+
+    def _pm_long():
+        return pm_acc(
             pos,
             mass,
             box,
@@ -303,21 +311,81 @@ def p3m_acc(
             spline_split=float(r_cut) if split == "spline" else 0.0,
             grad_order=grad_order,
         )
-        if part == "long":
-            return acc_long
+
+    if part == "long":
+        return _pm_long()
     n = pos.shape[0]
     if shortrange == "auto":
-        # columns: the column-packed kernel is at parity with cells on
-        # uniform states and ~5x faster on clustered ones (RESULTS.md
-        # round 3)
-        shortrange = "columns" if n > 65536 else "allpairs"
+        # supercell when the mesh tiles a chaining grid (fused MXU
+        # deposit + in-kernel PM readback — 217 vs 281 ms for columns at
+        # N=2^20/128^3 on the v5e), columns otherwise: the column-packed
+        # kernel is at parity with cells on uniform states and ~5x
+        # faster on clustered ones (RESULTS.md round 3)
+        if n > 65536:
+            shortrange = (
+                "supercell"
+                if supercell_ncell(box, nmesh, float(r_cut))
+                else "columns"
+            )
+        else:
+            shortrange = "allpairs"
     if (
-        shortrange in ("cells", "columns")
+        shortrange in ("cells", "columns", "supercell")
         and box / float(r_cut) < 3.0
     ):
         # box too small for a 3^3 chaining grid — dense tier is exact and
         # at such box/r_cut ratios barely more work anyway
         shortrange = "allpairs"
+    if shortrange == "supercell":
+        # fused tier: one sort, MXU deposit, PM readback inside the
+        # column kernel (nbody.forces.pm_supercell).  Falls back to the
+        # columns tier when the chaining grid cannot tile the mesh, for
+        # split-force halves (part != 'both'), or interlaced forces
+        # (two-grid readback).
+        sc_ncell = supercell_ncell(box, nmesh, float(r_cut))
+        if sc_ncell is None:
+            shortrange = "columns"
+        else:
+            from nbody.forces.p3m_columns import column_window
+            from nbody.forces.pm_supercell import p3m_supercell_acc
+
+            mean_col = n / sc_ncell**2
+            ck = capacity if capacity is not None else (
+                -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128
+            )
+            w = window if window else column_window(box, float(r_cut), ck)
+            if part in ("both", "split") and not interlace:
+                out = p3m_supercell_acc(
+                    pos, mass, box, nmesh, G=G, eps=float(eps),
+                    r_s=float(r_s), r_cut=float(r_cut),
+                    deconvolve_p=deconvolve_p, split=split,
+                    softening=softening, ncell=sc_ncell,
+                    col_capacity=ck, window=w, grad_order=grad_order,
+                    part_split=(part == "split"),
+                )
+                if part == "split":
+                    return out  # (acc_long, acc_short, overflow)
+                acc, overflow = out
+                if with_overflow:
+                    return acc, overflow
+                return acc
+            # part-half/interlaced fallback on the SAME chaining geometry
+            # so capacity knobs stay meaningful across parts
+            from nbody.forces.p3m_columns import p3m_short_columns_pallas
+
+            acc_short, overflow = p3m_short_columns_pallas(
+                pos, mass, box, float(eps), float(r_s), float(r_cut), G=G,
+                ncell=sc_ncell, col_capacity=ck, window=w,
+                split=split, softening=softening,
+            )
+            if part == "split":
+                return _pm_long(), acc_short, overflow
+            acc = (
+                acc_short if part == "short" else _pm_long() + acc_short
+            )
+            if with_overflow:
+                return acc, overflow
+            return acc
     if shortrange == "columns":
         from nbody.forces.p3m_columns import (
             column_params,
@@ -354,7 +422,9 @@ def p3m_acc(
             interpret=interpret, split=split, softening=softening,
         )
         overflow = jnp.int32(0)
-    acc = acc_short if part == "short" else acc_long + acc_short
+    if part == "split":
+        return _pm_long(), acc_short, overflow
+    acc = acc_short if part == "short" else _pm_long() + acc_short
     if with_overflow:
         return acc, overflow
     return acc
@@ -474,6 +544,18 @@ def p3m_short_cells(
         .add(acc_flat)[:n]
     )
     return G * out, cl.overflow
+
+
+def supercell_ncell(box: float, nmesh: int, r_cut: float) -> int | None:
+    """Chaining-grid side for the supercell tier: the LARGEST divisor of
+    nmesh with column side box/ncell >= r_cut, nmesh/ncell <= 15 (so the
+    (S+1)^2 CIC node grid packs into 256 MXU rows) and ncell >= 3 (xy
+    ghost ring) — or None when the mesh admits no such tiling (the
+    caller falls back to the columns tier)."""
+    for c in range(int(box / float(r_cut)), 2, -1):
+        if nmesh % c == 0 and nmesh // c <= 15:
+            return c
+    return None
 
 
 def p3m_short_params(box: float, nmesh: int, n: int):

@@ -44,11 +44,19 @@ from nbody.forces.p3m import _weight_fn
 _ZBITS = 21
 
 
-def ghost_slots(col_capacity: int) -> int:
-    """z-ghost capacity per column end: r_cut is a small fraction of the
-    column height, so CK/4 covers even strongly clustered boundary
-    blobs; ghost demand beyond this is counted as overflow (self-heal
-    doubles col_capacity, which scales the ghosts too)."""
+def ghost_slots(col_capacity: int, rc_slots: float | None = None) -> int:
+    """z-ghost capacity per column end.
+
+    With ``rc_slots`` (the z-extent of r_cut in slots at CAPACITY
+    density, (r_cut/box) * CK): 2.2x that demand, lane-aligned — ghost
+    need is the wrap margin's population, not a fraction of the column.
+    Without it (legacy callers): CK/4.  Demand beyond gz is counted as
+    overflow and heals via col_capacity (which scales the ghosts too).
+    Oversizing is pure cost: stride = CK + 2 gz multiplies every VMEM
+    column load in the kernel and every row of the plane build (moving
+    CK/4 -> 2.2 rc_slots cut stride 20% at bench conditions)."""
+    if rc_slots is not None:
+        return max(128, -(-int(2.2 * rc_slots) // 128) * 128)
     return max(128, (col_capacity // 4 // 128) * 128)
 
 
@@ -64,7 +72,7 @@ def column_window(box: float, r_cut: float, col_capacity: int) -> int:
     # conservative fence-based hi bound
     span = 256.0 + 2.2 * rc_slots + 127.0 + 128.0
     window = max(384, -(-int(span) // 128) * 128)
-    return min(window, col_capacity + 2 * ghost_slots(col_capacity))
+    return min(window, col_capacity + 2 * ghost_slots(col_capacity, rc_slots))
 
 
 def column_params(box: float, nmesh: int, n: int):
@@ -107,17 +115,27 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
     the ghost-padded SoA plane plus the per-chunk window tables.
 
     Returns (plane (8, P2 * stride), ws (ncol * 9 * maxch,) int32,
-    nch (ncol,) int32, overflow_bucket, overflow_window, gidx (n,)):
+    nch (ncol,) int32, overflow_bucket, overflow_window, gidx (n,),
+    counts (ncol,) int32 — stored reals per column, min(raw, CK), which
+    the supercell PM deposit/gather kernels use to mask z-ghost slots):
     P2 = (ncell+2)^2 padded columns of stride = CK + 2 GZ slots each,
     every column ascending in z (front ghosts < reals < back ghosts <
     sentinel padding); ``ws`` holds each (i-column, neighbour, chunk)'s
     lane-aligned j-window start; ``gidx`` maps particles to their padded
     slot for the gather-back.
+
+    The (ncol, stride) buffer — interior AND both z-ghost bands — is
+    assembled by ONE slot->source GATHER from the sorted particle rows
+    (each slot's source index and +-box z shift are pure arithmetic on
+    ``starts``/``counts``), never by scatters: scatter-set of n rows +
+    two ghost scatters measured 2x slower than the fused gather at
+    N=2^20 on the v5e, and column starts come from searchsorted on the
+    (already sorted) column keys instead of a bincount scatter-add.
     """
     n = pos.shape[0]
     dtype = jnp.float32
     CK = -(-col_capacity // 128) * 128
-    gz = ghost_slots(CK)
+    gz = ghost_slots(CK, (float(r_cut) / box) * CK)
     stride = CK + 2 * gz
     W = -(-window // 128) * 128
     maxch = CK // chunk
@@ -125,7 +143,6 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
     P = ncell + 2
     P2 = P * P
     zmargin = 1.0001 * r_cut
-    far = jnp.asarray([-8.0 * r_cut, -8.0 * r_cut], dtype)
 
     posw = jnp.mod(pos, box).astype(dtype)
     massf = mass.astype(dtype)
@@ -137,88 +154,62 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
     mass_s = massf[order]
     col_s = col[order]
 
-    counts = jnp.bincount(col, length=ncol).astype(jnp.int32)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-    )
+    # col_s is ascending -> column starts/counts via two vectorized
+    # binary searches (no bincount scatter-add)
+    cols = jnp.arange(ncol, dtype=jnp.int32)
+    starts = jnp.searchsorted(col_s, cols, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(col_s, cols, side="right").astype(jnp.int32)
+    counts = ends - starts
     rank = jnp.arange(n, dtype=jnp.int32) - starts[col_s]
     ok = rank < CK
     overflow_b = jnp.sum(~ok).astype(jnp.int32)
 
-    # ---- interior scatter (z-ascending within each column) -------------
-    # padding sentinel: far in x/y AND above every back ghost in z so the
-    # column stays globally ascending for searchsorted
+    # ---- fused interior + z-ghost assembly (one gather) ----------------
+    # Slot layout per column (ascending z): [0, gz) front ghosts (last
+    # reals, z - box), [gz, gz + cnt) reals, [gz + cnt, gz + cnt + gz)
+    # back ghosts (first reals, z + box), rest padding.  The padding
+    # sentinel z sits above every back ghost so searchsorted stays valid.
     z_pad = box + 3.0 * r_cut
-    defaults = jnp.asarray([-8.0 * r_cut, -8.0 * r_cut, z_pad, 0.0], dtype)
-    slot = jnp.where(ok, col_s * stride + gz + rank, ncol * stride)
-    data = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
-    buf = (
-        jnp.broadcast_to(defaults, (ncol * stride + 1, 4))
-        .at[slot]
-        .set(data)[: ncol * stride]
+    cnt = jnp.minimum(counts, CK)[:, None]  # (ncol, 1)
+    r = (jnp.arange(stride, dtype=jnp.int32) - gz)[None, :]  # (1, stride)
+    is_front = r < 0
+    is_interior = (r >= 0) & (r < cnt)
+    g_b = r - cnt
+    is_back = (r >= cnt) & (g_b < gz)
+    src = jnp.where(
+        is_front,
+        starts[:, None] + cnt + r,  # r in [-gz, 0): last |r| reals
+        jnp.where(is_back, starts[:, None] + g_b, starts[:, None] + r),
     )
+    src_ok = (src >= starts[:, None]) & (src < starts[:, None] + cnt)
+    src_c = jnp.clip(src, 0, max(n - 1, 0))
+    rows = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)[src_c]
+    z_raw = rows[..., 2]
+    valid = (
+        is_interior
+        | (is_front & src_ok & (z_raw >= box - zmargin))
+        | (is_back & src_ok & (z_raw <= zmargin))
+    )
+    shift = jnp.where(is_front, -box, jnp.where(is_back, box, 0.0))
+    # invalid front slots need z below every valid front ghost
+    # (ascending order); everywhere else padding sits at z_pad above all
+    default_z = jnp.where(is_front, -2.0 * box, z_pad)
+    xy = jnp.where(valid[..., None], rows[..., 0:2], -8.0 * r_cut)
+    zf_ = jnp.where(valid, z_raw + shift, default_z)
+    mf_ = jnp.where(valid, rows[..., 3], 0.0)
+    buf = jnp.concatenate(
+        [xy, zf_[..., None], mf_[..., None]], axis=-1
+    )  # (ncol, stride, 4)
 
-    # ---- z ghosts ------------------------------------------------------
-    g = jnp.arange(gz, dtype=jnp.int32)
-    cols = jnp.arange(ncol, dtype=jnp.int32)
-    # ghost-demand overflow: reals in the wrap margin beyond the gz
-    # ghost capacity would be silently missing wrap partners — count
-    # them so the self-heal can grow the column instead
-    in_back = (posw[:, 2] <= zmargin).astype(jnp.int32)
-    in_front = (posw[:, 2] >= box - zmargin).astype(jnp.int32)
-    nb = jnp.bincount(col, weights=in_back, length=ncol)
-    nf = jnp.bincount(col, weights=in_front, length=ncol)
+    # ghost-demand overflow: stored reals in the wrap margins beyond the
+    # gz ghost capacity would be silently missing wrap partners — count
+    # them (per-column fused reduction over the assembled interior) so
+    # the self-heal grows the column capacity (gz scales with CK)
+    nb = jnp.sum(is_interior & (z_raw <= zmargin), axis=1)
+    nf = jnp.sum(is_interior & (z_raw >= box - zmargin), axis=1)
     ov_g = (
         jnp.sum(jnp.maximum(nb - gz, 0)) + jnp.sum(jnp.maximum(nf - gz, 0))
     ).astype(jnp.int32)
-    # back ghosts: the first min(gz, count) reals with z <= zmargin,
-    # copied above the reals at z + box (slots gz+count .. )
-    src_b = starts[:, None] + g[None, :]
-    valid_b = (g[None, :] < jnp.minimum(counts, CK)[:, None])
-    zb = pos_s[jnp.clip(src_b, 0, max(n - 1, 0)), 2]
-    valid_b = valid_b & (zb <= zmargin)
-    dst_b = jnp.where(
-        valid_b,
-        cols[:, None] * stride + gz + jnp.minimum(counts, CK)[:, None]
-        + g[None, :],
-        ncol * stride,
-    )
-    vals_b = jnp.concatenate(
-        [
-            pos_s[jnp.clip(src_b, 0, max(n - 1, 0)), 0:2],
-            (zb + box)[..., None],
-            mass_s[jnp.clip(src_b, 0, max(n - 1, 0))][..., None],
-        ],
-        axis=-1,
-    )
-    buf = (
-        jnp.concatenate([buf, defaults[None, :]], axis=0)
-        .at[dst_b.reshape(-1)]
-        .set(vals_b.reshape(-1, 4))[: ncol * stride]
-    )
-    # front ghosts: the last min(GZ, count) reals with z >= box - zmargin
-    # copied below at z - box (slots 0..GZ); invalid entries keep a very
-    # negative z so ascending order holds
-    src_f = starts[:, None] + jnp.minimum(counts, CK)[:, None] - gz + g[None, :]
-    valid_f = src_f >= starts[:, None]
-    zf = pos_s[jnp.clip(src_f, 0, max(n - 1, 0)), 2]
-    valid_f = valid_f & (zf >= box - zmargin)
-    vals_f = jnp.concatenate(
-        [
-            pos_s[jnp.clip(src_f, 0, max(n - 1, 0)), 0:2],
-            (zf - box)[..., None],
-            mass_s[jnp.clip(src_f, 0, max(n - 1, 0))][..., None],
-        ],
-        axis=-1,
-    )
-    front_default = jnp.asarray(
-        [-8.0 * r_cut, -8.0 * r_cut, -2.0 * box, 0.0], dtype
-    )
-    # front slots are contiguous per column: assemble the (ncol, gz, 4)
-    # block directly instead of a full-buffer scatter
-    front = jnp.where(valid_f[..., None], vals_f, front_default)
-    buf = buf.reshape(ncol, stride, 4).at[:, :gz].set(front)
 
     # ---- window tables (before xy padding; ghost columns share their
     # source column's z content) ----------------------------------------
@@ -303,7 +294,8 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
     pc = (cx + 1) * P + (cy + 1)
     gidx_s = jnp.where(ok, pc[order] * stride + gz + rank, P2 * stride)
     gidx = jnp.zeros((n,), jnp.int32).at[order].set(gidx_s.astype(jnp.int32))
-    return plane, ws, nch.astype(jnp.int32), overflow_b, ov_w, gidx
+    return (plane, ws, nch.astype(jnp.int32), overflow_b, ov_w, gidx,
+            jnp.minimum(counts, CK).astype(jnp.int32))
 
 
 def _column_kernel(ws_ref, nch_ref, i_ref, j_ref, out_ref, *, ncell,
@@ -394,7 +386,7 @@ def p3m_short_columns_pallas(
     n = pos.shape[0]
     dtype = jnp.float32
     CK = -(-col_capacity // 128) * 128
-    gz = ghost_slots(CK)
+    gz = ghost_slots(CK, (float(r_cut) / box) * CK)
     if CK % chunk:
         chunk = 128
     stride = CK + 2 * gz
@@ -403,7 +395,7 @@ def p3m_short_columns_pallas(
     P = ncell + 2
     P2 = P * P
 
-    plane, ws, nch, ov_b, ov_w, gidx = build_column_plane(
+    plane, ws, nch, ov_b, ov_w, gidx, _cnt = build_column_plane(
         pos, mass, box, float(r_cut), ncell, CK, W, chunk=chunk
     )
 
@@ -484,7 +476,7 @@ def build_local_column_plane(pos_l, mass_l, *, box: float, r_cut: float,
     C = pos_l.shape[0]
     dtype = jnp.float32
     CK = -(-col_capacity // 128) * 128
-    gz = ghost_slots(CK)
+    gz = ghost_slots(CK, (float(r_cut) / box) * CK)
     stride = CK + 2 * gz
     W = min(-(-window // 128) * 128, stride)
     if CK % chunk:
@@ -510,82 +502,56 @@ def build_local_column_plane(pos_l, mass_l, *, box: float, r_cut: float,
     mass_s = massf[order]
     col_s = col[order]
 
-    counts = jnp.bincount(col, length=ncol_l + 1)[:-1].astype(jnp.int32)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-    )
+    # col_s ascending (non-resident rows sort to the sentinel column at
+    # the end) -> starts/counts via binary search, no bincount scatter
+    cols = jnp.arange(ncol_l, dtype=jnp.int32)
+    starts = jnp.searchsorted(col_s, cols, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(col_s, cols, side="right").astype(jnp.int32)
+    counts = ends - starts
     rank = jnp.arange(C, dtype=jnp.int32) - starts[
         jnp.clip(col_s, 0, ncol_l - 1)
     ]
     ok = (rank < CK) & (col_s < ncol_l)
     overflow_b = (jnp.sum(resident) - jnp.sum(ok)).astype(jnp.int32)
 
-    # ---- interior scatter (z-ascending within each local column) -------
+    # ---- fused interior + z-ghost assembly (one gather; same slot
+    # layout as build_column_plane — z is not decomposed) -----------------
     z_pad = box + 3.0 * r_cut
-    defaults = jnp.asarray([-8.0 * r_cut, -8.0 * r_cut, z_pad, 0.0], dtype)
-    slot = jnp.where(ok, col_s * stride + gz + rank, ncol_l * stride)
-    data = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
-    buf = (
-        jnp.broadcast_to(defaults, (ncol_l * stride + 1, 4))
-        .at[slot]
-        .set(data)[: ncol_l * stride]
+    cnt = jnp.minimum(counts, CK)[:, None]
+    r = (jnp.arange(stride, dtype=jnp.int32) - gz)[None, :]
+    is_front = r < 0
+    is_interior = (r >= 0) & (r < cnt)
+    g_b = r - cnt
+    is_back = (r >= cnt) & (g_b < gz)
+    src = jnp.where(
+        is_front,
+        starts[:, None] + cnt + r,
+        jnp.where(is_back, starts[:, None] + g_b, starts[:, None] + r),
     )
+    src_ok = (src >= starts[:, None]) & (src < starts[:, None] + cnt)
+    src_c = jnp.clip(src, 0, max(C - 1, 0))
+    rows = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)[src_c]
+    z_raw = rows[..., 2]
+    valid_slot = (
+        is_interior
+        | (is_front & src_ok & (z_raw >= box - zmargin))
+        | (is_back & src_ok & (z_raw <= zmargin))
+    )
+    shift = jnp.where(is_front, -box, jnp.where(is_back, box, 0.0))
+    default_z = jnp.where(is_front, -2.0 * box, z_pad)
+    xy = jnp.where(valid_slot[..., None], rows[..., 0:2], -8.0 * r_cut)
+    zf_ = jnp.where(valid_slot, z_raw + shift, default_z)
+    mf_ = jnp.where(valid_slot, rows[..., 3], 0.0)
+    buf = jnp.concatenate(
+        [xy, zf_[..., None], mf_[..., None]], axis=-1
+    )  # (ncol_l, stride, 4)
 
-    # ---- z ghosts (identical per-column logic to build_column_plane:
-    # z is not decomposed) ------------------------------------------------
-    g = jnp.arange(gz, dtype=jnp.int32)
-    cols = jnp.arange(ncol_l, dtype=jnp.int32)
-    in_back = (resident & (posw[:, 2] <= zmargin)).astype(jnp.int32)
-    in_front = (resident & (posw[:, 2] >= box - zmargin)).astype(jnp.int32)
-    nb = jnp.bincount(col, weights=in_back, length=ncol_l + 1)[:-1]
-    nf = jnp.bincount(col, weights=in_front, length=ncol_l + 1)[:-1]
+    nb = jnp.sum(is_interior & (z_raw <= zmargin), axis=1)
+    nf = jnp.sum(is_interior & (z_raw >= box - zmargin), axis=1)
     ov_g = (
         jnp.sum(jnp.maximum(nb - gz, 0)) + jnp.sum(jnp.maximum(nf - gz, 0))
     ).astype(jnp.int32)
-    nmax = max(C - 1, 0)
-    src_b = starts[:, None] + g[None, :]
-    valid_b = g[None, :] < jnp.minimum(counts, CK)[:, None]
-    zb = pos_s[jnp.clip(src_b, 0, nmax), 2]
-    valid_b = valid_b & (zb <= zmargin)
-    dst_b = jnp.where(
-        valid_b,
-        cols[:, None] * stride + gz + jnp.minimum(counts, CK)[:, None]
-        + g[None, :],
-        ncol_l * stride,
-    )
-    vals_b = jnp.concatenate(
-        [
-            pos_s[jnp.clip(src_b, 0, nmax), 0:2],
-            (zb + box)[..., None],
-            mass_s[jnp.clip(src_b, 0, nmax)][..., None],
-        ],
-        axis=-1,
-    )
-    buf = (
-        jnp.concatenate([buf, defaults[None, :]], axis=0)
-        .at[dst_b.reshape(-1)]
-        .set(vals_b.reshape(-1, 4))[: ncol_l * stride]
-    )
-    src_f = (
-        starts[:, None] + jnp.minimum(counts, CK)[:, None] - gz + g[None, :]
-    )
-    valid_f = src_f >= starts[:, None]
-    zf = pos_s[jnp.clip(src_f, 0, nmax), 2]
-    valid_f = valid_f & (zf >= box - zmargin)
-    vals_f = jnp.concatenate(
-        [
-            pos_s[jnp.clip(src_f, 0, nmax), 0:2],
-            (zf - box)[..., None],
-            mass_s[jnp.clip(src_f, 0, nmax)][..., None],
-        ],
-        axis=-1,
-    )
-    front_default = jnp.asarray(
-        [-8.0 * r_cut, -8.0 * r_cut, -2.0 * box, 0.0], dtype
-    )
-    front = jnp.where(valid_f[..., None], vals_f, front_default)
-    buf = buf.reshape(ncol_l, stride, 4).at[:, :gz].set(front)
+    defaults = jnp.asarray([-8.0 * r_cut, -8.0 * r_cut, z_pad, 0.0], dtype)
 
     # ---- y ghost ring (local wrap) + x halos (ppermute) -----------------
     grid4 = buf.reshape(nxl, ncell, stride, 4)
@@ -632,6 +598,7 @@ def build_local_column_plane(pos_l, mass_l, *, box: float, r_cut: float,
     nch = -(-jnp.minimum(counts, CK) // chunk)
     idx0 = starts[:, None] + ch[None, :] * chunk
     last = starts[:, None] + jnp.minimum(counts, CK)[:, None] - 1
+    nmax = max(C - 1, 0)
     zmin = pos_s[jnp.clip(idx0, 0, nmax), 2]
     zmax = pos_s[jnp.clip(jnp.minimum(idx0 + chunk - 1, last), 0, nmax), 2]
     chunk_ok = ch[None, :] < nch[:, None]
@@ -692,7 +659,7 @@ def p3m_short_columns_local(pos_l, mass_l, *, box: float, eps: float,
         interpret = jax.default_backend() != "tpu"
     dtype = jnp.float32
     CK = -(-col_capacity // 128) * 128
-    gz = ghost_slots(CK)
+    gz = ghost_slots(CK, (float(r_cut) / box) * CK)
     if CK % chunk:
         chunk = 128
     stride = CK + 2 * gz

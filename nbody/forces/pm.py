@@ -137,15 +137,118 @@ def _spline_filter_radial(r_cut: float, k_max: float, n_tab: int = 4096):
     return ks, F
 
 
+@functools.lru_cache(maxsize=32)
+def _spline_longrange_filter_np(nmesh: int, box: float, r_cut: float,
+                                dtype_name: str):
+    """Host-side (numpy) 3D spline-split filter, cached per geometry.
+
+    Computing this traced cost ~30 ms per force eval on the v5e: the
+    1M-point interp ran over an emulated-f64 |k| grid inside every jit.
+    The filter depends only on static args, so it is a constant."""
+    import numpy as np
+
+    two_pi = 2.0 * np.pi
+    k1 = np.fft.fftfreq(nmesh, d=box / nmesh) * two_pi
+    kz = np.fft.rfftfreq(nmesh, d=box / nmesh) * two_pi
+    km = np.sqrt(
+        k1[:, None, None] ** 2 + k1[None, :, None] ** 2
+        + kz[None, None, :] ** 2
+    )
+    k_max = float(3.0**0.5 * np.pi * nmesh / box) * 1.0001
+    ks, F = _spline_filter_radial(float(r_cut), k_max)
+    return np.interp(km, ks, F).astype(dtype_name)
+
+
 def spline_longrange_filter(nmesh: int, box: float, r_cut: float, dtype):
     """3D rfft-layout multiplier replacing inv_k2 * gaussian for the
     polynomial-spline force split (see _spline_filter_radial)."""
-    from nbody.mesh.grids import kmag
+    np_name = str(jnp.dtype(dtype))
+    return jnp.asarray(
+        _spline_longrange_filter_np(int(nmesh), float(box), float(r_cut),
+                                    np_name)
+    )
 
-    km = kmag(nmesh, box, rfft=True, dtype=jnp.float64)
-    k_max = float(3.0**0.5 * jnp.pi * nmesh / box) * 1.0001
-    ks, F = _spline_filter_radial(float(r_cut), k_max)
-    return jnp.interp(km, jnp.asarray(ks), jnp.asarray(F)).astype(dtype)
+
+def _fd_gradient_grids(phi, box: float, order: str):
+    """Real-space centered-difference force grids from the potential.
+
+    Circular shifts make these EXACTLY the k-space sin kernels of
+    :func:`gradient_kernel` (fd2: i sin(kh)/h; fd4: the 4-point symbol)
+    — same operator, one irfftn instead of three.  The three rolls per
+    axis cost ~100 MB of contiguous traffic at 128^3 vs ~28 ms of extra
+    inverse FFTs (measured on the v5e)."""
+    h = box / phi.shape[0]
+    grids = []
+    for ax in range(3):
+        p1 = jnp.roll(phi, -1, ax)
+        m1 = jnp.roll(phi, 1, ax)
+        if order == "fd2":
+            g = (p1 - m1) * (0.5 / h)
+        else:  # fd4
+            p2 = jnp.roll(phi, -2, ax)
+            m2 = jnp.roll(phi, 2, ax)
+            g = (8.0 * (p1 - m1) - (p2 - m2)) * (1.0 / (12.0 * h))
+        grids.append(-g)  # force = -grad phi
+    return jnp.stack(grids)
+
+
+def _force_grids(phi_k, box: float, nmesh: int, grad_order: str, dtype,
+                 phase=None):
+    """(3, nmesh^3) force grids from the rfft-layout potential.
+
+    fd2/fd4: one irfftn of phi (optionally phase-shifted for the second
+    interlacing pass) + real-space stencils; spectral: three irfftn with
+    the exact ik kernel (no real-space equivalent)."""
+    shape = (nmesh,) * 3
+    if grad_order in ("fd2", "fd4"):
+        pk = phi_k if phase is None else phi_k * phase
+        phi = jnp.fft.irfftn(pk, s=shape)
+        return _fd_gradient_grids(phi, box, grad_order)
+    kx, ky, kz = gradient_kernel(nmesh, box, grad_order, dtype)
+    if phase is not None:
+        phi_k = phi_k * phase
+    return jnp.stack(
+        [jnp.fft.irfftn(-1j * kj * phi_k, s=shape) for kj in (kx, ky, kz)]
+    )
+
+
+def pm_force_grids_from_rho(
+    rho,
+    mass_sum,
+    box: float,
+    nmesh: int,
+    *,
+    source_amp,
+    deconvolve_p: int = 2,
+    longrange_split: float = 0.0,
+    spline_split: float = 0.0,
+    grad_order: str = "fd4",
+):
+    """(3, nmesh^3) force grids from a deposited mass grid.
+
+    The mesh half of the PM solve with the deposit factored out — the
+    supercell tier (nbody.forces.pm_supercell) deposits with its MXU
+    kernel and reads forces back inside the fused column kernel, so it
+    needs the k-space middle standalone.  ``source_amp`` multiplies the
+    overdensity Poisson source (4 pi G rho_mean for Newtonian gravity).
+    """
+    dtype = rho.dtype
+    rho_k = jnp.fft.rfftn(rho)
+    delta_k = rho_k / (mass_sum / nmesh**3)
+    if deconvolve_p:
+        W = cic_window(nmesh, box, p=deconvolve_p, dtype=dtype)
+        delta_k = delta_k / jnp.maximum(W, 1e-8)
+    if spline_split > 0.0:
+        filt = spline_longrange_filter(nmesh, box, spline_split, dtype)
+        phi_k = -delta_k * filt * source_amp
+    else:
+        kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=dtype)
+        k2 = kx**2 + ky**2 + kz**2
+        inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+        phi_k = -delta_k * inv_k2 * source_amp
+        if longrange_split > 0.0:
+            phi_k = phi_k * jnp.exp(-k2 * (longrange_split**2))
+    return _force_grids(phi_k, box, nmesh, grad_order, dtype)
 
 
 @functools.partial(
@@ -185,11 +288,7 @@ def _pm_acc_impl(
         k2 = kxs**2 + kys**2 + kzs**2
         filt = spline_longrange_filter(nmesh, box, spline_split, pos.dtype)
         phi_k = phi_k * source_amp * (k2 * filt)
-        kx, ky, kz = gradient_kernel(nmesh, box, grad_order, pos.dtype)
-        shape = (nmesh,) * 3
-        grids = jnp.stack(
-            [jnp.fft.irfftn(-1j * kj * phi_k, s=shape) for kj in (kx, ky, kz)]
-        )
+        grids = _force_grids(phi_k, box, nmesh, grad_order, pos.dtype)
         return cic_gather_vec(grids, pos, box)
 
     phi_k = pm_potential_k(
@@ -200,14 +299,10 @@ def _pm_acc_impl(
         kxs, kys, kzs = kvecs(nmesh, box, rfft=True, dtype=pos.dtype)
         k2 = kxs**2 + kys**2 + kzs**2
         phi_k = phi_k * jnp.exp(-k2 * (longrange_split**2))
-    kx, ky, kz = gradient_kernel(nmesh, box, grad_order, pos.dtype)
 
-    shape = (nmesh,) * 3
-    # force = -grad phi -> F_k = -i k_j phi_k; all three components are
-    # read back in ONE fused CIC gather (the readback is gather-bound)
-    grids = jnp.stack(
-        [jnp.fft.irfftn(-1j * kj * phi_k, s=shape) for kj in (kx, ky, kz)]
-    )
+    # force = -grad phi; all three components are read back in ONE fused
+    # CIC gather (the readback is gather-bound)
+    grids = _force_grids(phi_k, box, nmesh, grad_order, pos.dtype)
     if not interlace:
         return cic_gather_vec(grids, pos, box)
     # CONCEPT's two interlacing passes for FORCES: the combined
@@ -219,12 +314,7 @@ def _pm_acc_impl(
     d = box / nmesh
     kxs, kys, kzs = kvecs(nmesh, box, rfft=True, dtype=pos.dtype)
     ph = jnp.exp(1j * ((kxs + kys + kzs) * (d / 2.0)).astype(pos.dtype))
-    grids1 = jnp.stack(
-        [
-            jnp.fft.irfftn(-1j * kj * phi_k * ph, s=shape)
-            for kj in (kx, ky, kz)
-        ]
-    )
+    grids1 = _force_grids(phi_k, box, nmesh, grad_order, pos.dtype, phase=ph)
     return 0.5 * (
         cic_gather_vec(grids, pos, box)
         + cic_gather_vec(grids1, pos, box, shift=0.5)

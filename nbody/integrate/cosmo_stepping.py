@@ -147,11 +147,18 @@ def run_cosmological_checked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("acc_long_fn", "acc_short_fn", "n_sub")
+    jax.jit,
+    static_argnames=("acc_long_fn", "acc_short_fn", "n_sub", "acc_both_fn"),
 )
-def _run_scan_subcycled(state, xs, box, acc_long_fn, acc_short_fn, n_sub):
-    gl0 = acc_long_fn(state.pos, state.mass, state.time)
-    gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
+def _run_scan_subcycled(state, xs, box, acc_long_fn, acc_short_fn, n_sub,
+                        acc_both_fn=None):
+    if acc_both_fn is not None:
+        gs0, gl0, ov0 = acc_both_fn(
+            state.pos, state.mass, state.time, state.time
+        )
+    else:
+        gl0 = acc_long_fn(state.pos, state.mass, state.time)
+        gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
 
     def body(carry, x):
         st, gl, gs, ov = carry
@@ -167,10 +174,24 @@ def _run_scan_subcycled(state, xs, box, acc_long_fn, acc_short_fn, n_sub):
             p2 = p1 + gs1 * ks2[j]
             return pos1, p2, gs1, jnp.maximum(ov2, o)
 
-        pos, p, gs, ov = jax.lax.fori_loop(
-            0, n_sub, sub, (pos, p, gs, ov)
-        )
-        gl_new = acc_long_fn(pos, st.mass, a1)
+        if acc_both_fn is None:
+            pos, p, gs, ov = jax.lax.fori_loop(
+                0, n_sub, sub, (pos, p, gs, ov)
+            )
+            gl_new = acc_long_fn(pos, st.mass, a1)
+        else:
+            # the trailing subcycle's short force and the closing long
+            # force are both needed at the SAME final positions — one
+            # fused evaluation (p3m_acc part='split') serves both
+            pos, p, gs, ov = jax.lax.fori_loop(
+                0, n_sub - 1, sub, (pos, p, gs, ov)
+            )
+            j = n_sub - 1
+            p = p + gs * ks1[j]
+            pos = jnp.mod(pos + p * drs[j], box)
+            gs, gl_new, o = acc_both_fn(pos, st.mass, a_sub[j], a1)
+            ov = jnp.maximum(ov, o)
+            p = p + gs * ks2[j]
         p = p + gl_new * kl2
         st = st.replace(pos=pos, vel=p, time=a1)
         return (st, gl_new, gs, ov), None
@@ -187,6 +208,7 @@ def run_cosmological_subcycled(
     acc_short_fn,
     box: float,
     n_sub: int,
+    acc_both_fn=None,
 ):
     """Split-Hamiltonian KDK: far field at the global step, short range
     subcycled ``n_sub``x inside it.
@@ -204,7 +226,11 @@ def run_cosmological_subcycled(
 
     ``acc_long_fn(pos, mass, a) -> g``;
     ``acc_short_fn(pos, mass, a) -> (g, overflow:int32)`` (the checked
-    protocol).  Returns (final_state, max overflow).
+    protocol).  Optional ``acc_both_fn(pos, mass, a_short, a_long) ->
+    (gs, gl, overflow)`` fuses the trailing subcycle's short force with
+    the closing long force (same positions, different 1/a scalings) —
+    one supercell evaluation instead of a short eval plus a PM eval
+    (see p3m_acc part='split').  Returns (final_state, max overflow).
     """
     a_grid = np.asarray(a_grid, dtype=np.float64)
     n_steps = len(a_grid) - 1
@@ -234,7 +260,7 @@ def run_cosmological_subcycled(
     )
     return _run_scan_subcycled(
         state, xs, jnp.asarray(box, dtype), acc_long_fn, acc_short_fn,
-        int(n_sub),
+        int(n_sub), acc_both_fn=acc_both_fn,
     )
 
 
@@ -481,6 +507,7 @@ def run_cosmological_rungs(
     eta_disp: float = 0.25,
     eta_acc: float = 0.025,
     eps: float = 0.0,
+    acc_both_fn=None,
 ):
     """Block-step KDK with per-particle rungs (the full CONCEPT scheme).
 
@@ -535,6 +562,7 @@ def run_cosmological_rungs(
         acc_short_masked_fn, int(n_rungs), jnp.asarray(cell, dtype),
         jnp.asarray(eta_disp, dtype),
         jnp.asarray(2.0 * eta_acc * eps, dtype), cosmo,
+        acc_both_fn=acc_both_fn,
     )
 
 
@@ -564,7 +592,8 @@ def _assign_rungs(dla_i, dla_step, n_rungs):
 
 
 def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
-                     acc_short_fn, acc_short_masked_fn):
+                     acc_short_fn, acc_short_masked_fn,
+                     acc_both_fn=None):
     """One global KDK step with per-particle rung short-range kicks.
 
     ``x = (a0, a1, kl1, kl2, Fk, Dr, A_sub)`` — long half-kick factors
@@ -611,12 +640,23 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
             occ_t = jnp.maximum(occ_t, oc)
             ov_s = jnp.maximum(ov_s, o)
         else:
-            g, o = acc_short_fn(pos, st.mass, A_sub[j - 1])
+            # boundary tick: the full short force here and the closing
+            # long force two lines down are evaluated at the SAME
+            # positions — acc_both_fn (p3m_acc part='split') serves both
+            # from one fused plane build/deposit when available
+            if acc_both_fn is None:
+                g, o = acc_short_fn(pos, st.mass, A_sub[j - 1])
+                gl_new = None
+            else:
+                g, gl_new, o = acc_both_fn(
+                    pos, st.mass, A_sub[j - 1], a1
+                )
             gs_new = g
             ov_b = jnp.maximum(ov_b, o)
         p = p + g * Fk[j][rung][:, None]
 
-    gl_new = acc_long_fn(pos, st.mass, a1)
+    if acc_both_fn is None:
+        gl_new = acc_long_fn(pos, st.mass, a1)
     p = p + gl_new * kl2
     st = st.replace(pos=pos, vel=p, time=a1)
     return st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t
@@ -626,16 +666,21 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
     jax.jit,
     static_argnames=(
         "acc_long_fn", "acc_short_fn", "acc_short_masked_fn", "n_rungs",
-        "cosmo",
+        "cosmo", "acc_both_fn",
     ),
 )
 def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
                     acc_short_masked_fn, n_rungs, cell, eta_disp,
-                    eta_acc_eps2, cosmo):
+                    eta_acc_eps2, cosmo, acc_both_fn=None):
     H0, Om, OL = float(cosmo.H0), float(cosmo.Omega_m), float(cosmo.Omega_L)
 
-    gl0 = acc_long_fn(state.pos, state.mass, state.time)
-    gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
+    if acc_both_fn is not None:
+        gs0, gl0, ov0 = acc_both_fn(
+            state.pos, state.mass, state.time, state.time
+        )
+    else:
+        gl0 = acc_long_fn(state.pos, state.mass, state.time)
+        gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
 
     def body(carry, x):
         st, gl, gs, ov = carry
@@ -649,6 +694,7 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
         st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t = _rung_block_step(
             st, gl, gs, rung, x, box, n_rungs,
             acc_long_fn, acc_short_fn, acc_short_masked_fn,
+            acc_both_fn=acc_both_fn,
         )
         ovb, ovm, ovt, occt = ov
         return (

@@ -45,17 +45,23 @@ def timed(fn, *args, reps=3, label=""):
     return min(ts)
 
 
-def steps_mode(n_steps: int = 4, subcycles: int = 4):
+def steps_mode(n_steps: int = 4, subcycles: int = 4, fused: bool = True):
     """Full-KDK steps/sec at N = 2^20 (VERDICT round-2 item 8): times the
     production subcycled split-Hamiltonian stepper — the dispatch-bound
     regime the effective-rate headline can't see.  Prints ONE JSON line
-    {"steps_per_s": ...} so the verify drive can regression-guard it."""
+    {"steps_per_s": ...} so the verify drive can regression-guard it.
+
+    ``fused`` mirrors the driver: boundary ticks evaluate short + long
+    from one supercell call (`build_cosmo_force_both`); pass
+    ``--unfused`` for the separate-halves baseline."""
     import json
 
     from nbody.core.cosmology import Cosmology
     from nbody.core.types import ParticleState
     from nbody.driver.config import SimulationConfig
-    from nbody.driver.simulate import build_cosmo_force_split
+    from nbody.driver.simulate import (
+        build_cosmo_force_both, build_cosmo_force_split,
+    )
     from nbody.integrate.cosmo_stepping import (
         log_a_steps, run_cosmological_subcycled,
     )
@@ -75,12 +81,13 @@ def steps_mode(n_steps: int = 4, subcycles: int = 4):
     )
     cosmo = Cosmology()
     long_fn, short_fn = build_cosmo_force_split(cfg)
+    both_fn = build_cosmo_force_both(cfg) if fused else None
     a_grid = log_a_steps(0.5, 0.52, n_steps)
 
     def run(st):
         out = run_cosmological_subcycled(
             st, cosmo, a_grid, long_fn, short_fn, box,
-            n_sub=subcycles,
+            n_sub=subcycles, acc_both_fn=both_fn,
         )
         return out
 
@@ -97,7 +104,10 @@ def steps_mode(n_steps: int = 4, subcycles: int = 4):
         ts.append(time.perf_counter() - t0)
     sps = n_steps / min(ts)
     print(json.dumps({
-        "metric": f"full subcycled KDK steps/s, N={n}, {subcycles}x",
+        "metric": (
+            f"full subcycled KDK steps/s, N={n}, {subcycles}x"
+            + (" (fused boundary tick)" if fused else "")
+        ),
         "steps_per_s": round(sps, 3),
         "s_per_step": round(min(ts) / n_steps, 3),
     }), flush=True)
@@ -177,6 +187,6 @@ def main():
 
 if __name__ == "__main__":
     if "--steps" in sys.argv:
-        steps_mode()
+        steps_mode(fused="--unfused" not in sys.argv)
     else:
         main()

@@ -167,9 +167,12 @@ def test_interlaced_force_two_pass_scatter():
 def test_gradient_kernel_options():
     """pm_acc's grad_order picks the differentiation kernel — CONCEPT's
     'differentiation' force option ('Fourier' = 'spectral',
-    `TheFeedingPipeline/NN.param:55-60`).  The two-particle force from
-    the exact-ik kernel stays within a few % of the fd4 default at
-    well-resolved separations, and the kernels genuinely differ."""
+    `TheFeedingPipeline/NN.param:55-60`).  The fd4 default reproduces
+    Newton for a well-resolved pair; the exact-ik kernel is only pinned
+    to finiteness + antisymmetry — on a deconvolved CIC point source it
+    Gibbs-rings (the gradient_kernel docstring's warning; measured
+    -8.1e-4 vs Newton's +1.0e-4 at 6.4 cells), so no closeness to fd4
+    can be asserted on point masses."""
     box, nmesh = 1000.0, 64
     pos = jnp.asarray(
         [[450.0, 500.0, 500.0], [550.0, 500.0, 500.0]]
@@ -179,7 +182,9 @@ def test_gradient_kernel_options():
     asp = np.asarray(pm_acc(pos, mass, box, nmesh, grad_order="spectral"))
     assert np.all(np.isfinite(asp))
     assert not np.allclose(a4, asp)  # different kernels
-    np.testing.assert_allclose(asp[0, 0], a4[0, 0], rtol=0.05)
+    # Newton (+ periodic images, <1% here): G m / r^2 toward the partner
+    np.testing.assert_allclose(a4[0, 0], 1.0 / 100.0**2, rtol=0.1)
+    np.testing.assert_allclose(a4[0, 0], -a4[1, 0], rtol=1e-6)
     np.testing.assert_allclose(asp[0, 0], -asp[1, 0], rtol=1e-6)
 
 
