@@ -72,15 +72,17 @@ def _soft_newton_spline(r2, eps2: float):
     newton = inv_r * inv_r * inv_r
     if h == 0.0:
         return newton
+    # VPU-lean formulation (this runs per PAIR in the hot kernels):
+    # 1/u^3 = (h/r)^3 = h^3 * newton (no divide), polynomials in Horner
+    # form.  Algebraically identical to the Monaghan-Lattanzio factors
+    # fac_lo = (32/3 + u^2 (32 u - 38.4))/h^3,
+    # fac_hi = (64/3 - 48 u + 38.4 u^2 - 32/3 u^3)/h^3 - (1/15)/(u^3 h^3).
     h3_inv = 1.0 / h**3
     u = r2 * inv_r * (1.0 / h)  # r/h
-    u2 = u * u
-    fac_lo = h3_inv * (32.0 / 3.0 + u2 * (32.0 * u - 38.4))
-    inv_u3 = 1.0 / jnp.maximum(u2 * u, 1e-30)
+    fac_lo = h3_inv * (32.0 / 3.0 + u * u * (32.0 * u - 38.4))
     fac_hi = h3_inv * (
-        64.0 / 3.0 - 48.0 * u + 38.4 * u2 - (32.0 / 3.0) * u2 * u
-        - (1.0 / 15.0) * inv_u3
-    )
+        64.0 / 3.0 + u * (-48.0 + u * (38.4 - (32.0 / 3.0) * u))
+    ) - (1.0 / 15.0) * newton
     return jnp.where(u < 0.5, fac_lo, jnp.where(u < 1.0, fac_hi, newton))
 
 

@@ -68,9 +68,9 @@ def column_window(box: float, r_cut: float, col_capacity: int) -> int:
     alignment.  Correctness never depends on this — window misses are
     counted as overflow — it only sets the work/robustness trade."""
     rc_slots = (r_cut / box) * col_capacity
-    # 256 chunk + 2 r_cut margins + 127 start alignment + 128 for the
-    # conservative fence-based hi bound
-    span = 256.0 + 2.2 * rc_slots + 127.0 + 128.0
+    # 256 chunk + 2 r_cut margins + 127 start-alignment slack (the
+    # window start is the EXACT in-band slot aligned down to 128)
+    span = 256.0 + 2.2 * rc_slots + 127.0
     window = max(384, -(-int(span) // 128) * 128)
     return min(window, col_capacity + 2 * ghost_slots(col_capacity, rc_slots))
 
@@ -224,14 +224,11 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
     ]
     chunk_ok = ch[None, :] < nch[:, None]
 
-    # windows via 128-slot FENCES: each column's z at every 128th slot
-    # (stride/128 values) replaces full searchsorted over the stride —
-    # the window start only needs 128-alignment anyway, and the overflow
-    # check uses the (<=128-slot conservative) fence upper bound.
+    # per-(column, neighbour, chunk) windows: exact per-slot counts on
+    # the (already ascending) neighbour column z's, starts aligned down
+    # to the kernel's 128-lane quantum.
     ic_x = cols // ncell
     ic_y = cols % ncell
-    nf_fence = stride // 128
-    fence = zcols[:, ::128]  # (ncol, nf_fence) ascending
     ws_list = []
     ov_w = jnp.int32(0)
     for o2 in range(9):
@@ -239,21 +236,23 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
         nc = (
             jnp.mod(ic_x + dxo, ncell) * ncell + jnp.mod(ic_y + dyo, ncell)
         )  # (ncol,)
-        fj = fence[nc]  # (ncol, nf_fence)
+        zj = zcols[nc]  # (ncol, stride) ascending
         qlo = (zmin - r_cut)[:, :, None]           # (ncol, maxch, 1)
         qhi = (zmax + r_cut)[:, :, None]
-        # start = block before the first fence exceeding qlo; slots
-        # before it all have z <= fence <= qlo, so the low side never
-        # truly misses
-        cnt_lo = jnp.sum(fj[:, None, :] <= qlo, axis=-1)
+        # start = first slot inside the band, aligned DOWN to 128 (the
+        # kernel's lane alignment): slots before lo_exact all have
+        # z < qlo, so the low side never misses.  EXACT per-slot count —
+        # a fence-block bound wasted up to 128 extra slots of W per
+        # window (12.5% of the kernel's pair visits at bench geometry)
+        lo_exact = jnp.sum(zj[:, None, :] < qlo, axis=-1)
         start = jnp.clip(
-            (jnp.maximum(cnt_lo - 1, 0)) * 128, 0, stride - W
+            (lo_exact // 128) * 128, 0, stride - W
         ).astype(jnp.int32)
         # hi side: count TRUE misses (exact per-slot comparison, not the
         # fence bound — the <=128/side fence slack read as phantom
         # overflow on overflow-free states and triggered needless
         # capacity-doubling re-jits, measured round 3)
-        hi_exact = jnp.sum(zcols[nc][:, None, :] < qhi, axis=-1)
+        hi_exact = jnp.sum(zj[:, None, :] < qhi, axis=-1)
         ov_w = ov_w + jnp.sum(
             jnp.where(
                 chunk_ok, jnp.maximum(hi_exact - (start + W), 0), 0
