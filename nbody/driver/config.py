@@ -116,6 +116,12 @@ class SimulationConfig:
     # 'columns' (z-sorted column kernel — at parity with cells on
     # uniform states, ~5x faster clustered) | 'cells' (ghost-padded
     # per-cell Pallas kernel) | 'allpairs' (dense)
+    column_skin: float = -1.0  # drift budget (Mpc) for frozen column
+    # plans: interior subcycle short evals reuse the sort/bucketing/
+    # window tables while every particle stays within skin/2 of the
+    # freeze positions (MD neighbour-list trick; refrozen on demand via
+    # lax.cond).  -1 = auto (0.05 * r_cut, clamped to the xy slack);
+    # 0 disables the reuse.  Single-device subcycled runs only.
 
     # -- parallelism ---------------------------------------------------------
     devices: int = 1  # device count for the run: 1 = single-device;

@@ -244,6 +244,64 @@ def build_cosmo_force_both(config: SimulationConfig):
 
 
 @functools.lru_cache(maxsize=64)
+def build_cosmo_force_frozen(config: SimulationConfig):
+    """(freeze_fn, short_frozen_fn, drift_ok_fn) for the subcycled
+    integrator's frozen-plan interior short evals
+    (`nbody.forces.p3m_columns.freeze_column_plan`), or None when the
+    resolved tier has no column geometry / the skin is disabled.
+
+    The geometry (ncell, capacity, window) mirrors p3m_acc's resolution
+    for the tier exactly, so the driver's capacity heals re-jit the
+    frozen path coherently with the fresh one.  Memoized — see
+    build_cosmo_force."""
+    from nbody.forces.p3m import p3m_short_params
+    from nbody.forces.p3m_columns import (
+        column_window, freeze_column_plan, p3m_short_columns_frozen,
+        plan_drift_ok,
+    )
+
+    if config.solver != "p3m":
+        return None
+    tier = _resolved_shortrange(config)
+    if tier not in ("columns", "supercell"):
+        return None
+    box, eps, G = config.box, config.eps, units.COSMO.G
+    nmesh = config.mesh_size
+    n = config.n_particles
+    r_s, r_cut, _, _ = p3m_short_params(box, nmesh, n)
+    ncell = _tier_ncell(config, tier)
+    mean_col = n / ncell**2
+    ck = config.column_capacity or (
+        -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128
+    )
+    w = config.column_window or column_window(box, float(r_cut), ck)
+    skin = config.column_skin
+    if skin < 0.0:  # auto: 5% of r_cut, clamped to the frozen-xy slack
+        skin = min(0.05 * r_cut, 0.49 * (box / ncell - r_cut))
+    if skin <= 0.0:
+        return None
+    skin = float(skin)
+
+    def freeze_fn(pos, mass):
+        return freeze_column_plan(
+            pos, mass, box, float(r_cut), ncell, ck, w, skin=skin
+        )
+
+    def short_frozen_fn(pos, mass, a, plan):
+        acc, ov = p3m_short_columns_frozen(
+            pos, mass, plan, box, float(eps), float(r_s), float(r_cut),
+            G=G, ncell=ncell, col_capacity=ck, window=w,
+            split=config.force_split, softening=config.softening_kernel,
+        )
+        return acc / jnp.asarray(a, pos.dtype), ov
+
+    def drift_ok_fn(pos, plan):
+        return plan_drift_ok(pos, plan, box, skin)
+
+    return freeze_fn, short_frozen_fn, drift_ok_fn
+
+
+@functools.lru_cache(maxsize=64)
 def build_cosmo_force_rungs(config: SimulationConfig):
     """(long_fn, short_fn, masked_fn) triple for the per-particle rung
     integrator (:func:`nbody.integrate.cosmo_stepping.
@@ -648,6 +706,11 @@ def run_simulation(
         if (split_fns is not None or rung_fns is not None) and not adaptive
         else None
     )
+    # frozen column plans for the subcycled integrator's interior short
+    # evals (skin reuse of the sort/bucketing — see build_cosmo_force_frozen)
+    frozen_fns = (
+        build_cosmo_force_frozen(cfg_run) if split_fns is not None else None
+    )
     n_sub_eff = 2 ** (rungs - 1) if rungs else max(1, config.subcycles)
 
     a_grid = log_a_steps(config.a_begin, config.a_end, config.n_steps)
@@ -765,10 +828,11 @@ def run_simulation(
         return False
 
     def rebuild_forces() -> None:
-        nonlocal acc_fn, split_fns, rung_fns, both_fn
+        nonlocal acc_fn, split_fns, rung_fns, both_fn, frozen_fns
         acc_fn = build_cosmo_force(cfg_run, checked=True)
         if split_fns is not None:
             split_fns = build_cosmo_force_split(cfg_run)
+            frozen_fns = build_cosmo_force_frozen(cfg_run)
         if rung_fns is not None:
             rung_fns = build_cosmo_force_rungs(cfg_run)
         if both_fn is not None:
@@ -1040,6 +1104,7 @@ def run_simulation(
                 new, ov = run_cosmological_subcycled(
                     st, cosmo, a_grid[prev : idx + 1], sfns[0], sfns[1],
                     config.box, config.subcycles, acc_both_fn=both_fn,
+                    frozen_fns=frozen_fns,
                 )
             else:
                 new, ov = run_cosmological_checked(

@@ -32,6 +32,7 @@ the same O(N * neighbourhood) idea.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +110,85 @@ def _col_z_order(col, z, ncol: int, box: float):
     return o1[jnp.argsort(col[o1])]
 
 
+def _slot_sources(starts, counts, CK: int, gz: int, stride: int):
+    """Per-slot source index into the SORTED particle rows plus the
+    structural band masks, from the per-column starts/counts alone.
+
+    Slot layout per column (ascending z): [0, gz) front ghosts (last
+    reals, z - box), [gz, gz + cnt) reals, [gz + cnt, gz + cnt + gz)
+    back ghosts (first reals, z + box), rest padding.  Pure broadcast
+    arithmetic — the frozen-plan path recomputes it per eval rather
+    than storing the masks."""
+    cnt = jnp.minimum(counts, CK)[:, None]  # (ncol, 1)
+    r = (jnp.arange(stride, dtype=jnp.int32) - gz)[None, :]  # (1, stride)
+    is_front = r < 0
+    is_interior = (r >= 0) & (r < cnt)
+    g_b = r - cnt
+    is_back = (r >= cnt) & (g_b < gz)
+    src = jnp.where(
+        is_front,
+        starts[:, None] + cnt + r,  # r in [-gz, 0): last |r| reals
+        jnp.where(is_back, starts[:, None] + g_b, starts[:, None] + r),
+    )
+    src_ok = (src >= starts[:, None]) & (src < starts[:, None] + cnt)
+    return src, src_ok, is_front, is_interior, is_back
+
+
+def _rows_to_buf(rows, src_ok, is_front, is_interior, is_back,
+                 box: float, r_cut: float, zmargin: float):
+    """(ncol, stride, 4) SoA buffer from gathered particle rows: ghost
+    validity tested on the rows' CURRENT z, +-box z shifts applied,
+    invalid slots parked at sentinels that keep each column's z
+    ascending (front padding below all, everything else above all).
+    Returns (buf, z_raw) — z_raw feeds the ghost-demand check."""
+    z_pad = box + 3.0 * r_cut
+    z_raw = rows[..., 2]
+    valid = (
+        is_interior
+        | (is_front & src_ok & (z_raw >= box - zmargin))
+        | (is_back & src_ok & (z_raw <= zmargin))
+    )
+    shift = jnp.where(is_front, -box, jnp.where(is_back, box, 0.0))
+    default_z = jnp.where(is_front, -2.0 * box, z_pad)
+    xy = jnp.where(valid[..., None], rows[..., 0:2], -8.0 * r_cut)
+    zf_ = jnp.where(valid, z_raw + shift, default_z)
+    mf_ = jnp.where(valid, rows[..., 3], 0.0)
+    buf = jnp.concatenate(
+        [xy, zf_[..., None], mf_[..., None]], axis=-1
+    )  # (ncol, stride, 4)
+    return buf, z_raw
+
+
+def _plane_from_buf(buf, box: float, ncell: int, stride: int):
+    """xy ghost ring (+-box baked into coordinates) + the (8, P2*stride)
+    SoA plane layout the column kernels consume."""
+    P = ncell + 2
+    P2 = P * P
+    dtype = buf.dtype
+    grid4 = buf.reshape(ncell, ncell, stride, 4)
+    padded = jnp.pad(grid4, ((1, 1), (1, 1), (0, 0), (0, 0)), mode="wrap")
+    for ax in range(2):
+
+        def shifted(sl, delta):
+            lo_ = padded[(slice(None),) * ax + (sl,)]
+            return lo_.at[..., ax].add(
+                jnp.where(lo_[..., 3] > 0, delta, 0.0)
+            )
+
+        padded = padded.at[(slice(None),) * ax + (0,)].set(shifted(0, -box))
+        padded = padded.at[(slice(None),) * ax + (P - 1,)].set(
+            shifted(P - 1, box)
+        )
+
+    return jnp.concatenate(
+        [
+            jnp.moveaxis(padded.reshape(P2 * stride, 4), -1, 0),
+            jnp.zeros((4, P2 * stride), dtype),
+        ],
+        axis=0,
+    )
+
+
 def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
                        col_capacity: int, window: int, chunk: int = 256):
     """Sort particles into z-ordered (x, y)-column buckets and assemble
@@ -165,41 +245,14 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
     overflow_b = jnp.sum(~ok).astype(jnp.int32)
 
     # ---- fused interior + z-ghost assembly (one gather) ----------------
-    # Slot layout per column (ascending z): [0, gz) front ghosts (last
-    # reals, z - box), [gz, gz + cnt) reals, [gz + cnt, gz + cnt + gz)
-    # back ghosts (first reals, z + box), rest padding.  The padding
-    # sentinel z sits above every back ghost so searchsorted stays valid.
-    z_pad = box + 3.0 * r_cut
-    cnt = jnp.minimum(counts, CK)[:, None]  # (ncol, 1)
-    r = (jnp.arange(stride, dtype=jnp.int32) - gz)[None, :]  # (1, stride)
-    is_front = r < 0
-    is_interior = (r >= 0) & (r < cnt)
-    g_b = r - cnt
-    is_back = (r >= cnt) & (g_b < gz)
-    src = jnp.where(
-        is_front,
-        starts[:, None] + cnt + r,  # r in [-gz, 0): last |r| reals
-        jnp.where(is_back, starts[:, None] + g_b, starts[:, None] + r),
+    src, src_ok, is_front, is_interior, is_back = _slot_sources(
+        starts, counts, CK, gz, stride
     )
-    src_ok = (src >= starts[:, None]) & (src < starts[:, None] + cnt)
     src_c = jnp.clip(src, 0, max(n - 1, 0))
     rows = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)[src_c]
-    z_raw = rows[..., 2]
-    valid = (
-        is_interior
-        | (is_front & src_ok & (z_raw >= box - zmargin))
-        | (is_back & src_ok & (z_raw <= zmargin))
+    buf, z_raw = _rows_to_buf(
+        rows, src_ok, is_front, is_interior, is_back, box, r_cut, zmargin
     )
-    shift = jnp.where(is_front, -box, jnp.where(is_back, box, 0.0))
-    # invalid front slots need z below every valid front ghost
-    # (ascending order); everywhere else padding sits at z_pad above all
-    default_z = jnp.where(is_front, -2.0 * box, z_pad)
-    xy = jnp.where(valid[..., None], rows[..., 0:2], -8.0 * r_cut)
-    zf_ = jnp.where(valid, z_raw + shift, default_z)
-    mf_ = jnp.where(valid, rows[..., 3], 0.0)
-    buf = jnp.concatenate(
-        [xy, zf_[..., None], mf_[..., None]], axis=-1
-    )  # (ncol, stride, 4)
 
     # ghost-demand overflow: stored reals in the wrap margins beyond the
     # gz ghost capacity would be silently missing wrap partners — count
@@ -265,29 +318,7 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
     # driver's staged heal widens the right knob first
     overflow_b = overflow_b + ov_g
 
-    # ---- xy ghost ring -------------------------------------------------
-    grid4 = buf.reshape(ncell, ncell, stride, 4)
-    padded = jnp.pad(grid4, ((1, 1), (1, 1), (0, 0), (0, 0)), mode="wrap")
-    for ax in range(2):
-
-        def shifted(sl, delta):
-            lo_ = padded[(slice(None),) * ax + (sl,)]
-            return lo_.at[..., ax].add(
-                jnp.where(lo_[..., 3] > 0, delta, 0.0)
-            )
-
-        padded = padded.at[(slice(None),) * ax + (0,)].set(shifted(0, -box))
-        padded = padded.at[(slice(None),) * ax + (P - 1,)].set(
-            shifted(P - 1, box)
-        )
-
-    plane = jnp.concatenate(
-        [
-            jnp.moveaxis(padded.reshape(P2 * stride, 4), -1, 0),
-            jnp.zeros((4, P2 * stride), dtype),
-        ],
-        axis=0,
-    )
+    plane = _plane_from_buf(buf, box, ncell, stride)
 
     # particle -> padded slot (for the gather-back)
     pc = (cx + 1) * P + (cy + 1)
@@ -344,6 +375,46 @@ def _column_kernel(ws_ref, nch_ref, i_ref, j_ref, out_ref, *, ncell,
     jax.lax.fori_loop(0, nch, body, 0)
 
 
+def _run_column_kernel(plane, ws, nch, *, ncell, stride, W, maxch, gz,
+                       chunk, eps, r_s, r_cut, split, softening,
+                       interpret):
+    """pallas_call launch for :func:`_column_kernel` (shared by the
+    fresh and frozen-plan paths)."""
+    P = ncell + 2
+
+    def i_map(ic, o2, *_):
+        return (0, (ic // ncell + 1) * P + (ic % ncell + 1))
+
+    def j_map(ic, o2, *_):
+        return (
+            0,
+            (ic // ncell + 1 + o2 // 3 - 1) * P
+            + (ic % ncell + 1 + o2 % 3 - 1),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ncell * ncell, 9),
+        in_specs=[
+            pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, stride), j_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _column_kernel,
+            ncell=ncell, stride=stride, W=W, maxch=maxch, gz=gz,
+            chunk=chunk,
+            eps2=float(eps) ** 2, r_s=float(r_s), r_cut=float(r_cut),
+            split=split, softening=softening,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
+        interpret=interpret,
+    )(ws, nch, plane, plane)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -398,37 +469,11 @@ def p3m_short_columns_pallas(
         pos, mass, box, float(r_cut), ncell, CK, W, chunk=chunk
     )
 
-    def i_map(ic, o2, *_):
-        return (0, (ic // ncell + 1) * P + (ic % ncell + 1))
-
-    def j_map(ic, o2, *_):
-        return (
-            0,
-            (ic // ncell + 1 + o2 // 3 - 1) * P
-            + (ic % ncell + 1 + o2 % 3 - 1),
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(ncell * ncell, 9),
-        in_specs=[
-            pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, stride), j_map, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
+    out = _run_column_kernel(
+        plane, ws, nch, ncell=ncell, stride=stride, W=W, maxch=maxch,
+        gz=gz, chunk=chunk, eps=eps, r_s=r_s, r_cut=r_cut, split=split,
+        softening=softening, interpret=interpret,
     )
-    out = pl.pallas_call(
-        functools.partial(
-            _column_kernel,
-            ncell=ncell, stride=stride, W=W, maxch=maxch, gz=gz,
-            chunk=chunk,
-            eps2=float(eps) ** 2, r_s=float(r_s), r_cut=float(r_cut),
-            split=split, softening=softening,
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
-        interpret=interpret,
-    )(ws, nch, plane, plane)
 
     acc_buckets = jnp.concatenate(
         [out[:3].reshape(3, P2 * stride).T, jnp.zeros((1, 3), dtype)],
@@ -443,6 +488,256 @@ def p3m_short_columns_pallas(
     # driver wants.
     ov = jnp.minimum(ov_b, 32767) * 65536 + jnp.minimum(ov_w, 65535)
     return G * acc.astype(pos.dtype), ov
+
+
+# ---------------------------------------------------------------------------
+# Frozen column plans (skin reuse across subcycles)
+# ---------------------------------------------------------------------------
+
+
+class ColumnPlan(NamedTuple):
+    """Frozen column bucketing: everything position-INDEPENDENT about a
+    column plane (sort order composed into per-slot gather indices,
+    bucket starts/counts, skin-widened window tables, slot map), valid
+    for any later positions within ``skin/2`` min-image drift of
+    ``pos0``.  The expensive argsort and the window-table reductions
+    are paid once here; re-assembling the plane for drifted positions
+    is one row gather + masks (:func:`p3m_short_columns_frozen`).
+
+    Correctness under drift <= skin/2 per particle (delta):
+      * xy bucketing: a pair within r_cut at eval time has frozen xy
+        separation <= r_cut + 2 delta <= column side (checked at freeze),
+        so the frozen 3x3 column walk still covers it.
+      * z windows: thresholds are widened by skin = 2 delta at freeze
+        (qlo - skin, qhi + skin) and counted on the frozen (sorted) z,
+        so every slot whose CURRENT z can fall in a chunk's band is
+        inside that chunk's frozen window.
+      * z ghosts: band membership is frozen, so the freeze-time ghost
+        demand is counted with a + skin/2 widened wrap margin; the
+        assembly-time validity test stays on current z.
+    ``ov`` is the freeze-time field-encoded overflow word (the frozen
+    evals return it verbatim — their demand is bounded by it)."""
+
+    pos0: jax.Array      # (n, 3) wrapped positions at freeze
+    src_g: jax.Array     # (ncol, stride) i32: slot -> ORIGINAL particle row
+    starts: jax.Array    # (ncol,) i32
+    counts: jax.Array    # (ncol,) i32 (raw, may exceed CK)
+    ws: jax.Array        # (ncol * 9 * maxch,) i32 frozen window starts
+    nch: jax.Array       # (ncol,) i32
+    gidx: jax.Array      # (n,) i32 particle -> padded slot
+    ov: jax.Array        # () i32 field-encoded freeze-time overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "box", "r_cut", "ncell", "col_capacity", "window", "chunk", "skin",
+    ),
+)
+def freeze_column_plan(pos, mass, box: float, r_cut: float, ncell: int,
+                       col_capacity: int, window: int, chunk: int = 256,
+                       skin: float = 0.0):
+    """Sort + bucket + window tables at the CURRENT positions, packaged
+    for reuse at nearby positions (see :class:`ColumnPlan`).  ``skin``
+    is the total drift budget: the plan stays valid while every
+    particle is within skin/2 (min-image) of its freeze position —
+    callers check with :func:`plan_drift_ok` and refreeze on demand."""
+    if box / ncell < r_cut - 1e-9:
+        raise ValueError(f"column size {box / ncell:.3f} < r_cut {r_cut:.3f}")
+    if skin > 0.0 and (box / ncell) < r_cut + 2.0 * skin:
+        raise ValueError(
+            f"column side {box / ncell:.3f} < r_cut + 2 skin "
+            f"{r_cut + 2.0 * skin:.3f} — frozen xy bucketing would miss "
+            f"drifted pairs"
+        )
+    n = pos.shape[0]
+    dtype = jnp.float32
+    CK = -(-col_capacity // 128) * 128
+    gz = ghost_slots(CK, (float(r_cut) / box) * CK)
+    if CK % chunk:
+        chunk = 128
+    stride = CK + 2 * gz
+    W = min(-(-window // 128) * 128, stride)
+    maxch = CK // chunk
+    ncol = ncell * ncell
+    P = ncell + 2
+    P2 = P * P
+    # widened margins: tables/demand must cover anything that can drift
+    # INTO a band/window while the plan is frozen
+    zmargin_t = 1.0001 * r_cut + 0.5 * skin
+
+    posw = jnp.mod(pos, box).astype(dtype)
+    massf = mass.astype(dtype)
+    cx = jnp.clip((posw[:, 0] * (ncell / box)).astype(jnp.int32), 0, ncell - 1)
+    cy = jnp.clip((posw[:, 1] * (ncell / box)).astype(jnp.int32), 0, ncell - 1)
+    col = cx * ncell + cy
+    order = _col_z_order(col, posw[:, 2], ncol, box)
+    pos_s = posw[order]
+    mass_s = massf[order]
+    col_s = col[order]
+
+    cols = jnp.arange(ncol, dtype=jnp.int32)
+    starts = jnp.searchsorted(col_s, cols, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(col_s, cols, side="right").astype(jnp.int32)
+    counts = ends - starts
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[col_s]
+    ok = rank < CK
+    ov_b = jnp.sum(~ok).astype(jnp.int32)
+
+    src, src_ok, is_front, is_interior, is_back = _slot_sources(
+        starts, counts, CK, gz, stride
+    )
+    src_c = jnp.clip(src, 0, max(n - 1, 0))
+    src_g = order[src_c].astype(jnp.int32)
+    rows = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)[src_c]
+    # TABLE buffer with the widened wrap margin: slots that can become
+    # valid ghosts within skin/2 drift must be counted inside windows
+    buf_t, z_raw = _rows_to_buf(
+        rows, src_ok, is_front, is_interior, is_back, box, r_cut, zmargin_t
+    )
+
+    # ghost demand with the widened margin (a real that can drift into
+    # the wrap band must already sit within the gz-slot frozen band)
+    nb = jnp.sum(is_interior & (z_raw <= zmargin_t), axis=1)
+    nf = jnp.sum(is_interior & (z_raw >= box - zmargin_t), axis=1)
+    ov_b = ov_b + (
+        jnp.sum(jnp.maximum(nb - gz, 0)) + jnp.sum(jnp.maximum(nf - gz, 0))
+    ).astype(jnp.int32)
+
+    # frozen window tables: skin-widened thresholds on the frozen z
+    zcols = buf_t[:, :, 2]
+    ch = jnp.arange(maxch, dtype=jnp.int32)
+    nch = -(-jnp.minimum(counts, CK) // chunk)
+    idx0 = starts[:, None] + ch[None, :] * chunk
+    last = starts[:, None] + jnp.minimum(counts, CK)[:, None] - 1
+    zmin = pos_s[jnp.clip(idx0, 0, max(n - 1, 0)), 2]
+    zmax = pos_s[
+        jnp.clip(jnp.minimum(idx0 + chunk - 1, last), 0, max(n - 1, 0)), 2
+    ]
+    chunk_ok = ch[None, :] < nch[:, None]
+    ic_x = cols // ncell
+    ic_y = cols % ncell
+    ws_list = []
+    ov_w = jnp.int32(0)
+    for o2 in range(9):
+        dxo, dyo = o2 // 3 - 1, o2 % 3 - 1
+        nc = (
+            jnp.mod(ic_x + dxo, ncell) * ncell + jnp.mod(ic_y + dyo, ncell)
+        )
+        zj = zcols[nc]
+        qlo = (zmin - r_cut - skin)[:, :, None]
+        qhi = (zmax + r_cut + skin)[:, :, None]
+        lo_exact = jnp.sum(zj[:, None, :] < qlo, axis=-1)
+        start = jnp.clip(
+            (lo_exact // 128) * 128, 0, stride - W
+        ).astype(jnp.int32)
+        hi_exact = jnp.sum(zj[:, None, :] < qhi, axis=-1)
+        ov_w = ov_w + jnp.sum(
+            jnp.where(
+                chunk_ok, jnp.maximum(hi_exact - (start + W), 0), 0
+            )
+        ).astype(jnp.int32)
+        ws_list.append(start)
+    ws = jnp.stack(ws_list, axis=1).reshape(ncol * 9 * maxch)
+
+    pc = (cx + 1) * P + (cy + 1)
+    gidx_s = jnp.where(ok, pc[order] * stride + gz + rank, P2 * stride)
+    gidx = jnp.zeros((n,), jnp.int32).at[order].set(gidx_s.astype(jnp.int32))
+    ov = jnp.minimum(ov_b, 32767) * 65536 + jnp.minimum(ov_w, 65535)
+    return ColumnPlan(
+        pos0=posw, src_g=src_g, starts=starts, counts=counts, ws=ws,
+        nch=nch.astype(jnp.int32), gidx=gidx, ov=ov,
+    )
+
+
+def plan_drift_ok(pos, plan: ColumnPlan, box: float, skin: float):
+    """True while every particle is within skin/2 (min-image) of its
+    freeze position — the validity predicate for a :class:`ColumnPlan`."""
+    d = jnp.mod(pos, box).astype(plan.pos0.dtype) - plan.pos0
+    d = d - box * jnp.round(d * (1.0 / box))
+    return jnp.max(jnp.sum(d * d, axis=1)) <= (0.5 * skin) ** 2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "box", "eps", "r_s", "r_cut", "G", "ncell", "col_capacity",
+        "window", "interpret", "split", "softening", "chunk",
+    ),
+)
+def p3m_short_columns_frozen(
+    pos,
+    mass,
+    plan: ColumnPlan,
+    box: float,
+    eps: float,
+    r_s: float,
+    r_cut: float,
+    G: float = 1.0,
+    *,
+    ncell: int,
+    col_capacity: int,
+    window: int,
+    interpret: bool | None = None,
+    split: str = "gaussian",
+    softening: str = "plummer",
+    chunk: int = 256,
+):
+    """Short-range column force on a FROZEN plan: no sort, no window
+    tables — one (ncol*stride)-row gather by ``plan.src_g`` assembles
+    the plane at the CURRENT positions, the frozen (skin-widened)
+    windows drive the same kernel, and ``plan.gidx`` maps the result
+    back.  Physics identical to :func:`p3m_short_columns_pallas` while
+    the caller keeps drift <= skin/2 (:func:`plan_drift_ok`).
+
+    Reference role: CONCEPT refreshes its C tiling every kick; the skin
+    margin is the classic MD neighbour-list trick applied to the column
+    packing so the TPU pays the argsort once per drift budget, not once
+    per subcycle."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dtype = jnp.float32
+    CK = -(-col_capacity // 128) * 128
+    gz = ghost_slots(CK, (float(r_cut) / box) * CK)
+    if CK % chunk:
+        chunk = 128
+    stride = CK + 2 * gz
+    W = min(-(-window // 128) * 128, stride)
+    maxch = CK // chunk
+    P2 = (ncell + 2) ** 2
+    zmargin = 1.0001 * r_cut
+
+    # unwrap current positions relative to the FREEZE positions: a
+    # particle that drifted across the periodic wrap jumps by ~box in
+    # raw coordinates, which would shatter the frozen slot ordering —
+    # min-image against pos0 keeps every stored coordinate within
+    # skin/2 of its frozen value (slightly outside [0, box) is fine:
+    # ghost tests and the kernel work on raw differences)
+    posw = jnp.mod(pos, box).astype(dtype)
+    d = posw - plan.pos0
+    d = d - box * jnp.round(d * (1.0 / box))
+    rows = jnp.concatenate(
+        [plan.pos0 + d, mass.astype(dtype)[:, None]], axis=1
+    )[plan.src_g]
+    _, src_ok, is_front, is_interior, is_back = _slot_sources(
+        plan.starts, plan.counts, CK, gz, stride
+    )
+    buf, _ = _rows_to_buf(
+        rows, src_ok, is_front, is_interior, is_back, box, r_cut, zmargin
+    )
+    plane = _plane_from_buf(buf, box, ncell, stride)
+
+    out = _run_column_kernel(
+        plane, plan.ws, plan.nch, ncell=ncell, stride=stride, W=W,
+        maxch=maxch, gz=gz, chunk=chunk, eps=eps, r_s=r_s, r_cut=r_cut,
+        split=split, softening=softening, interpret=interpret,
+    )
+    acc_buckets = jnp.concatenate(
+        [out[:3].reshape(3, P2 * stride).T, jnp.zeros((1, 3), dtype)],
+        axis=0,
+    )
+    acc = acc_buckets[plan.gidx]
+    return G * acc.astype(pos.dtype), plan.ov
 
 
 # ---------------------------------------------------------------------------

@@ -148,10 +148,13 @@ def run_cosmological_checked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("acc_long_fn", "acc_short_fn", "n_sub", "acc_both_fn"),
+    static_argnames=(
+        "acc_long_fn", "acc_short_fn", "n_sub", "acc_both_fn",
+        "frozen_fns",
+    ),
 )
 def _run_scan_subcycled(state, xs, box, acc_long_fn, acc_short_fn, n_sub,
-                        acc_both_fn=None):
+                        acc_both_fn=None, frozen_fns=None):
     if acc_both_fn is not None:
         gs0, gl0, ov0 = acc_both_fn(
             state.pos, state.mass, state.time, state.time
@@ -160,31 +163,56 @@ def _run_scan_subcycled(state, xs, box, acc_long_fn, acc_short_fn, n_sub,
         gl0 = acc_long_fn(state.pos, state.mass, state.time)
         gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
 
+    # frozen column plans (skin reuse): interior subcycle short evals
+    # skip the argsort + window tables while every particle stays
+    # within skin/2 of the carried plan's freeze positions; the plan
+    # refreezes ON DEMAND via lax.cond (early cosmology: one sort per
+    # MANY global steps; late clustering: ~one per step).
+    if frozen_fns is not None:
+        freeze_fn, short_frozen_fn, drift_ok_fn = frozen_fns
+        plan0 = freeze_fn(state.pos, state.mass)
+
+        def short_sub(pos, mass, a, plan):
+            plan = jax.lax.cond(
+                drift_ok_fn(pos, plan),
+                lambda pl_: pl_,
+                lambda pl_: freeze_fn(pos, mass),
+                plan,
+            )
+            g, o = short_frozen_fn(pos, mass, a, plan)
+            return g, o, plan
+    else:
+        plan0 = jnp.int32(0)  # placeholder carry leaf
+
+        def short_sub(pos, mass, a, plan):
+            g, o = acc_short_fn(pos, mass, a)
+            return g, o, plan
+
     def body(carry, x):
-        st, gl, gs, ov = carry
+        st, gl, gs, ov, plan = carry
         a1, kl1, kl2, ks1, drs, ks2, a_sub = x
         p = st.vel + gl * kl1  # long half-kick (far field frozen)
         pos = st.pos
 
         def sub(j, c):
-            pos, p, gs, ov2 = c
+            pos, p, gs, ov2, plan = c
             p1 = p + gs * ks1[j]
             pos1 = jnp.mod(pos + p1 * drs[j], box)
-            gs1, o = acc_short_fn(pos1, st.mass, a_sub[j])
+            gs1, o, plan = short_sub(pos1, st.mass, a_sub[j], plan)
             p2 = p1 + gs1 * ks2[j]
-            return pos1, p2, gs1, jnp.maximum(ov2, o)
+            return pos1, p2, gs1, jnp.maximum(ov2, o), plan
 
         if acc_both_fn is None:
-            pos, p, gs, ov = jax.lax.fori_loop(
-                0, n_sub, sub, (pos, p, gs, ov)
+            pos, p, gs, ov, plan = jax.lax.fori_loop(
+                0, n_sub, sub, (pos, p, gs, ov, plan)
             )
             gl_new = acc_long_fn(pos, st.mass, a1)
         else:
             # the trailing subcycle's short force and the closing long
             # force are both needed at the SAME final positions — one
             # fused evaluation (p3m_acc part='split') serves both
-            pos, p, gs, ov = jax.lax.fori_loop(
-                0, n_sub - 1, sub, (pos, p, gs, ov)
+            pos, p, gs, ov, plan = jax.lax.fori_loop(
+                0, n_sub - 1, sub, (pos, p, gs, ov, plan)
             )
             j = n_sub - 1
             p = p + gs * ks1[j]
@@ -194,9 +222,11 @@ def _run_scan_subcycled(state, xs, box, acc_long_fn, acc_short_fn, n_sub,
             p = p + gs * ks2[j]
         p = p + gl_new * kl2
         st = st.replace(pos=pos, vel=p, time=a1)
-        return (st, gl_new, gs, ov), None
+        return (st, gl_new, gs, ov, plan), None
 
-    (final, _, _, ov), _ = jax.lax.scan(body, (state, gl0, gs0, ov0), xs)
+    (final, _, _, ov, _), _ = jax.lax.scan(
+        body, (state, gl0, gs0, ov0, plan0), xs
+    )
     return final, ov
 
 
@@ -209,6 +239,7 @@ def run_cosmological_subcycled(
     box: float,
     n_sub: int,
     acc_both_fn=None,
+    frozen_fns=None,
 ):
     """Split-Hamiltonian KDK: far field at the global step, short range
     subcycled ``n_sub``x inside it.
@@ -230,7 +261,12 @@ def run_cosmological_subcycled(
     (gs, gl, overflow)`` fuses the trailing subcycle's short force with
     the closing long force (same positions, different 1/a scalings) —
     one supercell evaluation instead of a short eval plus a PM eval
-    (see p3m_acc part='split').  Returns (final_state, max overflow).
+    (see p3m_acc part='split').  Optional ``frozen_fns = (freeze_fn,
+    short_frozen_fn, drift_ok_fn)`` evaluates interior subcycle short
+    forces on a frozen column plan carried across steps and refrozen on
+    drift demand (`nbody.forces.p3m_columns.freeze_column_plan` — the
+    MD skin trick; the argsort is paid per drift budget, not per
+    subcycle).  Returns (final_state, max overflow).
     """
     a_grid = np.asarray(a_grid, dtype=np.float64)
     n_steps = len(a_grid) - 1
@@ -260,7 +296,7 @@ def run_cosmological_subcycled(
     )
     return _run_scan_subcycled(
         state, xs, jnp.asarray(box, dtype), acc_long_fn, acc_short_fn,
-        int(n_sub), acc_both_fn=acc_both_fn,
+        int(n_sub), acc_both_fn=acc_both_fn, frozen_fns=frozen_fns,
     )
 
 

@@ -60,7 +60,8 @@ def steps_mode(n_steps: int = 4, subcycles: int = 4, fused: bool = True):
     from nbody.core.types import ParticleState
     from nbody.driver.config import SimulationConfig
     from nbody.driver.simulate import (
-        build_cosmo_force_both, build_cosmo_force_split,
+        build_cosmo_force_both, build_cosmo_force_frozen,
+        build_cosmo_force_split,
     )
     from nbody.integrate.cosmo_stepping import (
         log_a_steps, run_cosmological_subcycled,
@@ -82,12 +83,13 @@ def steps_mode(n_steps: int = 4, subcycles: int = 4, fused: bool = True):
     cosmo = Cosmology()
     long_fn, short_fn = build_cosmo_force_split(cfg)
     both_fn = build_cosmo_force_both(cfg) if fused else None
+    frozen_fns = build_cosmo_force_frozen(cfg) if fused else None
     a_grid = log_a_steps(0.5, 0.52, n_steps)
 
     def run(st):
         out = run_cosmological_subcycled(
             st, cosmo, a_grid, long_fn, short_fn, box,
-            n_sub=subcycles, acc_both_fn=both_fn,
+            n_sub=subcycles, acc_both_fn=both_fn, frozen_fns=frozen_fns,
         )
         return out
 
@@ -106,7 +108,7 @@ def steps_mode(n_steps: int = 4, subcycles: int = 4, fused: bool = True):
     print(json.dumps({
         "metric": (
             f"full subcycled KDK steps/s, N={n}, {subcycles}x"
-            + (" (fused boundary tick)" if fused else "")
+            + (" (fused tick + frozen plans)" if fused else "")
         ),
         "steps_per_s": round(sps, 3),
         "s_per_step": round(min(ts) / n_steps, 3),

@@ -170,3 +170,107 @@ def test_col_z_order_large_column_counts():
     same = np.diff(cs) == 0
     # z ascending within a column (up to the 2^21 quantisation)
     assert (np.diff(zs)[same] > -box / 2**20).all()
+
+
+class TestFrozenPlan:
+    """Frozen column plans (skin reuse): p3m_short_columns_frozen on a
+    drifted state must match the fresh tier exactly while drift stays
+    within skin/2 — including particles that cross the periodic wrap —
+    and plan_drift_ok must flag budget violations."""
+
+    def _setup(self, seed=0):
+        from nbody.forces.p3m_columns import freeze_column_plan
+
+        n, box, nmesh = 6000, 120.0, 32
+        r_s, r_cut, ncell, CK, W = column_params(box, nmesh, n)
+        pos, mass = _uniform(n, box, seed=seed)
+        skin = 0.05 * float(r_cut)
+        plan = freeze_column_plan(
+            pos, mass, box, float(r_cut), ncell, CK, W, skin=skin
+        )
+        return pos, mass, box, r_s, r_cut, ncell, CK, W, skin, plan
+
+    def test_matches_fresh_under_drift(self):
+        from nbody.forces.p3m_columns import (
+            p3m_short_columns_frozen, plan_drift_ok,
+        )
+
+        pos, mass, box, r_s, r_cut, ncell, CK, W, skin, plan = self._setup()
+        kw = dict(ncell=ncell, col_capacity=CK, window=W,
+                  split="spline", softening="spline")
+        rng = np.random.default_rng(1)
+        drift = jnp.asarray(
+            rng.uniform(-0.57, 0.57, pos.shape) * (skin / 2), jnp.float32
+        )
+        pos2 = jnp.mod(pos + drift, box)  # wrap-crossers included
+        assert bool(plan_drift_ok(pos2, plan, box, skin))
+        a_frozen, ov = p3m_short_columns_frozen(
+            pos2, mass, plan, box, 0.1, r_s, r_cut, **kw
+        )
+        assert int(ov) == 0
+        a_fresh, _ = p3m_short_columns_pallas(
+            pos2, mass, box, 0.1, r_s, r_cut, **kw
+        )
+        rel = np.linalg.norm(
+            np.asarray(a_frozen, np.float64) - np.asarray(a_fresh),
+            axis=1,
+        ) / np.maximum(
+            np.linalg.norm(np.asarray(a_fresh), axis=1), 1e-10
+        )
+        assert rel.max() < 1e-4
+
+    def test_drift_budget_flagged(self):
+        from nbody.forces.p3m_columns import plan_drift_ok
+
+        pos, mass, box, *_, skin, plan = self._setup()
+        far = jnp.mod(
+            pos.at[0].add(jnp.asarray([1.1 * skin, 0, 0], jnp.float32)),
+            box,
+        )
+        assert not bool(plan_drift_ok(far, plan, box, skin))
+
+    def test_subcycled_integrator_matches(self):
+        """run_cosmological_subcycled with frozen_fns (the production
+        wiring through build_cosmo_force_frozen) tracks the fresh-eval
+        integrator to f32 across several global steps."""
+        from nbody.core.cosmology import Cosmology
+        from nbody.driver.config import SimulationConfig
+        from nbody.driver.simulate import (
+            build_cosmo_force_both,
+            build_cosmo_force_frozen,
+            build_cosmo_force_split,
+            realize_ics,
+        )
+        from nbody.integrate.cosmo_stepping import (
+            log_a_steps, run_cosmological_subcycled,
+        )
+
+        cfg = SimulationConfig(
+            n_side=20, box=120.0, solver="p3m", pm_grid=32,
+            softening_kernel="spline", subcycles=4, shortrange="columns",
+        )
+        state = realize_ics(cfg, 0)
+        state = state.replace(
+            pos=state.pos.astype(jnp.float32),
+            vel=state.vel.astype(jnp.float32),
+            mass=state.mass.astype(jnp.float32),
+            time=state.time.astype(jnp.float32),
+        )
+        cosmo = Cosmology()
+        long_fn, short_fn = build_cosmo_force_split(cfg)
+        both_fn = build_cosmo_force_both(cfg)
+        frozen = build_cosmo_force_frozen(cfg)
+        assert frozen is not None
+        a_grid = log_a_steps(0.1, 0.5, 6)
+        f0, ov0 = run_cosmological_subcycled(
+            state, cosmo, a_grid, long_fn, short_fn, cfg.box, 4,
+            acc_both_fn=both_fn,
+        )
+        f1, ov1 = run_cosmological_subcycled(
+            state, cosmo, a_grid, long_fn, short_fn, cfg.box, 4,
+            acc_both_fn=both_fn, frozen_fns=frozen,
+        )
+        assert int(ov0) == 0 and int(ov1) == 0
+        scale = float(jnp.abs(f0.vel).max())
+        assert float(jnp.abs(f1.pos - f0.pos).max()) < 1e-3
+        assert float(jnp.abs(f1.vel - f0.vel).max()) / scale < 1e-4
