@@ -13,11 +13,19 @@ Ewald-style Gaussian force splitting with scale r_s:
     sum of the two parts is the exact periodic force up to the mesh's
     aliasing error.
 
-The short-range sum runs as a Pallas tiled kernel (same SoA (4, N) layout
-as nbody.forces.pallas_pp) with the cutoff applied as a mask — every pair
-is *evaluated* but only nearby ones contribute.  This is the dense
-tier for <= ~256k particles; a neighbor-binned kernel is the planned
-upgrade path for larger N (SURVEY.md §7 "hard parts").
+The short-range sum has four tiers, auto-selected by ``p3m_acc``:
+
+  * dense: a Pallas tiled all-pairs kernel (same SoA (4, N) layout as
+    nbody.forces.pallas_pp) with the cutoff applied as a mask — every
+    pair is *evaluated*; only viable for small N (<= ~64k).
+  * cells: ghost-padded cell-plane Pallas kernel over a fixed-capacity
+    cell list (this file) — the geometry the masked rung kernels keep.
+  * columns: z-sorted (x, y)-column buckets with scalar-prefetched
+    z-window tables (nbody.forces.p3m_columns) — the clustered-state
+    production tier.
+  * supercell: columns + the CIC deposit as per-column MXU
+    triangle-weight matmuls + the PM force readback fused into the
+    column kernel (nbody.forces.pm_supercell) — the headline tier.
 """
 
 from __future__ import annotations
