@@ -576,6 +576,43 @@ def make_domain_p3m_local(
         ks_tab, F_tab = _spline_filter_radial(geom.r_cut, k_max)
         ks_tab, F_tab = jnp.asarray(ks_tab), jnp.asarray(F_tab)
 
+    def _solve_grids(delta_k, a, kx, ky, kz, dtype):
+        """k-space Poisson solve -> 3 real-space local force grids
+        (3, nmesh/D, nmesh, nmesh), shared by the classic far field and
+        the supercell tier.  ``delta_k`` must already be deconvolved."""
+        h_cell = box / nmesh
+        k2 = kx**2 + ky**2 + kz**2
+        if split == "spline":
+            km = jnp.sqrt(k2)
+            F = jnp.interp(km, ks_tab, F_tab).astype(dtype)
+        else:
+            inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+            F = inv_k2
+            if split == "gaussian":
+                F = F * jnp.exp(-k2 * geom.r_s**2)
+        amp = (base / a).astype(dtype) if hasattr(base / a, "astype") else base / a
+        phi_k = -amp * delta_k * F
+        gx = _grad1(kx, h_cell, grad_order)
+        gy = _grad1(ky, h_cell, grad_order)
+        gz = _grad1(kz, h_cell, grad_order)
+        return phi_k, jnp.stack(
+            [
+                slab_irfftn(-1j * gj * phi_k, nmesh, axis_name)
+                for gj in (gx, gy, gz)
+            ]
+        )
+
+    def _deconvolved(delta_k, kx, ky, kz):
+        if not deconvolve_p:
+            return delta_k
+        h_cell = box / nmesh
+
+        def sinc(k):
+            return jnp.sinc(k * (h_cell / (2.0 * np.pi)))
+
+        W = (sinc(kx) * sinc(ky) * sinc(kz)) ** deconvolve_p
+        return delta_k / jnp.maximum(W, 1e-8)
+
     def far_field(pos_l, mass_l, a):
         dtype = pos_l.dtype
         d = jax.lax.axis_index(axis_name)
@@ -607,33 +644,8 @@ def make_domain_p3m_local(
                 axis_name=axis_name,
             )
             delta_k = slab_rfftn(grid_l, axis_name) / mean_cell
-        if deconvolve_p:
-
-            def sinc(k):
-                return jnp.sinc(k * (h_cell / (2.0 * np.pi)))
-
-            W = (sinc(kx) * sinc(ky) * sinc(kz)) ** deconvolve_p
-            delta_k = delta_k / jnp.maximum(W, 1e-8)
-        k2 = kx**2 + ky**2 + kz**2
-        if split == "spline":
-            km = jnp.sqrt(k2)
-            F = jnp.interp(km, ks_tab, F_tab).astype(dtype)
-        else:
-            inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
-            F = inv_k2
-            if split == "gaussian":
-                F = F * jnp.exp(-k2 * geom.r_s**2)
-        amp = (base / a).astype(dtype) if hasattr(base / a, "astype") else base / a
-        phi_k = -amp * delta_k * F
-        gx = _grad1(kx, h_cell, grad_order)
-        gy = _grad1(ky, h_cell, grad_order)
-        gz = _grad1(kz, h_cell, grad_order)
-        grids = jnp.stack(
-            [
-                slab_irfftn(-1j * gj * phi_k, nmesh, axis_name)
-                for gj in (gx, gy, gz)
-            ]
-        )
+        delta_k = _deconvolved(delta_k, kx, ky, kz)
+        phi_k, grids = _solve_grids(delta_k, a, kx, ky, kz, dtype)
         acc_long = slab_gather3(
             grids, pos_l, box=box, n_dev=D, axis_name=axis_name
         )
@@ -641,6 +653,9 @@ def make_domain_p3m_local(
             # second force pass: read the alias-cancelled potential back
             # from the half-cell-shifted grid too and average (CONCEPT's
             # two passes; one-grid gather measured +-200% pair scatter)
+            gx = _grad1(kx, h_cell, grad_order)
+            gy = _grad1(ky, h_cell, grad_order)
+            gz = _grad1(kz, h_cell, grad_order)
             ph_f = jnp.exp(
                 1j * ((kx + ky + kz) * (h_cell / 2.0)).astype(dtype)
             )
@@ -657,17 +672,104 @@ def make_domain_p3m_local(
             acc_long = 0.5 * (acc_long + acc1)
         return acc_long
 
-    if shortrange not in ("cells", "columns"):
+    if shortrange not in ("cells", "columns", "supercell"):
         raise ValueError(f"unknown domain shortrange {shortrange!r}")
-    if shortrange == "columns" and not col_capacity:
+    if shortrange in ("columns", "supercell") and not col_capacity:
         raise ValueError(
-            "shortrange='columns' needs an explicit col_capacity "
+            f"shortrange={shortrange!r} needs an explicit col_capacity "
             "(compute it via nbody.forces.p3m_columns.column_params)"
         )
+    sc_ncell = None
+    if shortrange == "supercell":
+        from nbody.forces.p3m import supercell_ncell
+
+        sc_ncell = supercell_ncell(box, nmesh, geom.r_cut)
+        if sc_ncell is None or sc_ncell % D or interlace:
+            raise ValueError(
+                f"domain supercell needs a divisor chaining grid that "
+                f"also splits over {D} devices and a non-interlaced far "
+                f"field (got sc_ncell={sc_ncell}, interlace={interlace}) "
+                f"— use shortrange='columns'"
+            )
+
+    def supercell_eval(pos_l, mass_l, a_s, a_l):
+        """Fused slab supercell evaluation: ONE local column sort, the
+        MXU deposit (x-halo node planes by ppermute instead of the
+        scatter deposit's spill exchanges), distributed-FFT solve, and
+        the PM readback fused into the column kernel.  Returns
+        (gs_raw * G/a_s, gl/a_l, overflow-word) — the split halves of
+        `nbody.driver.simulate.build_cosmo_force_both`, on the slab.
+        Reference: CONCEPT runs its identical P3M solver under MPI
+        (`TheFeedingPipeline/NN.param:81-83`, `SnapVsPK/Ucertain.py:89`
+        "Domain decomposition") — this is that solver's production
+        tier, domain-resident."""
+        from nbody.forces.p3m_columns import (
+            build_local_column_plane, column_window, ghost_slots,
+        )
+        from nbody.forces.pm_supercell import (
+            extract_local_subgrids, run_fused_column_plane,
+            supercell_deposit_local, supercell_geometry,
+        )
+
+        dtype = pos_l.dtype
+        d = jax.lax.axis_index(axis_name)
+        S, ZP = supercell_geometry(nmesh, sc_ncell)
+        CK = -(-col_capacity // 128) * 128
+        gzs = ghost_slots(CK, (geom.r_cut / box) * CK)
+        chunk = 256 if CK % 256 == 0 else 128
+        stride = CK + 2 * gzs
+        W = min(
+            -(-(col_window or column_window(box, geom.r_cut, CK)) // 128)
+            * 128,
+            stride,
+        )
+        maxch = CK // chunk
+        nxl_sc = sc_ncell // D
+
+        plane, ws, nch, ov_b, ov_w, gidx, counts = build_local_column_plane(
+            pos_l, mass_l, box=box, r_cut=geom.r_cut, ncell=sc_ncell,
+            n_dev=D, col_capacity=CK, window=W, axis_name=axis_name,
+            chunk=chunk,
+        )
+        # slab-local x for the deposit/readback node arithmetic (pair
+        # differences are shift-invariant; sentinel x stays far outside
+        # the node range)
+        xoff = jnp.asarray(d * (box / D), dtype)
+        plane = plane.at[0].add(-xoff)
+        rho_l = supercell_deposit_local(
+            plane, counts, box=box, nmesh=nmesh, ncell=sc_ncell, n_dev=D,
+            stride=stride, gz=gzs, axis_name=axis_name, chunk=chunk,
+        )
+        kx, ky, kz = kvecs_slab(nmesh, box, d, D, dtype)
+        total_mass = jax.lax.psum(jnp.sum(mass_l), axis_name)
+        delta_k = slab_rfftn(rho_l, axis_name) / (total_mass / nmesh**3)
+        delta_k = _deconvolved(delta_k, kx, ky, kz)
+        _, grids = _solve_grids(delta_k, a_l, kx, ky, kz, dtype)
+        subgrids = extract_local_subgrids(
+            grids, sc_ncell, S, ZP, n_dev=D, axis_name=axis_name
+        )
+        out = run_fused_column_plane(
+            plane, ws, nch, subgrids, ncell=sc_ncell, stride=stride, W=W,
+            maxch=maxch, gz=gzs, chunk=chunk, eps2=eps2, r_s=geom.r_s,
+            r_cut=geom.r_cut, split=split, softening=softening, S=S,
+            ZP=ZP, scale=float(nmesh / box), split_out=True, nx=nxl_sc,
+        )
+        buckets6 = jnp.concatenate(
+            [out[:6].reshape(6, -1).T, jnp.zeros((1, 6), jnp.float32)],
+            axis=0,
+        )
+        both = buckets6[gidx]
+        acc_short = (G / a_s) * both[:, 0:3].astype(dtype)
+        acc_long = both[:, 3:6].astype(dtype)
+        ov = jnp.minimum(ov_b, 32767) * 65536 + jnp.minimum(ov_w, 65535)
+        return acc_short, acc_long, ov
 
     def short_range(pos_l, mass_l, a):
         dtype = pos_l.dtype
-        if shortrange == "columns":
+        if shortrange in ("columns", "supercell"):
+            # the supercell tier's part-half fallback rides the SAME
+            # chaining geometry (sc_ncell) so capacity knobs stay
+            # coherent across parts — cf. p3m_acc's supercell fallback
             from nbody.forces.p3m_columns import (
                 column_window,
                 p3m_short_columns_local,
@@ -675,7 +777,7 @@ def make_domain_p3m_local(
 
             acc, overflow = p3m_short_columns_local(
                 pos_l, mass_l, box=box, eps=float(eps), r_s=geom.r_s,
-                r_cut=geom.r_cut, G=G, ncell=ncell, n_dev=D,
+                r_cut=geom.r_cut, G=G, ncell=sc_ncell or ncell, n_dev=D,
                 col_capacity=col_capacity,
                 window=col_window or column_window(
                     box, geom.r_cut, col_capacity
@@ -747,8 +849,20 @@ def make_domain_p3m_local(
                 "part='short_masked' is meaningless with split='none'"
             )
         return short_range_masked
+    if part == "split":
+        if shortrange != "supercell":
+            raise ValueError("part='split' is the fused supercell path")
+        return supercell_eval
     if part != "both":
         raise ValueError(f"unknown part {part!r}")
+
+    if shortrange == "supercell":
+
+        def local_sc(pos_l, mass_l, a):
+            acc_short, acc_long, ov = supercell_eval(pos_l, mass_l, a, a)
+            return acc_long + acc_short, ov
+
+        return local_sc
 
     def local(pos_l, mass_l, a):
         acc_long = far_field(pos_l, mass_l, a)
@@ -965,6 +1079,15 @@ def run_cosmological_domain(
         short_acc = make_domain_p3m_local(
             cosmo, geom, eps, part="short", **fkw_s
         )
+        # fused trailing tick: the supercell tier evaluates the trailing
+        # subcycle's short force and the closing long force from ONE
+        # plane build + MXU deposit (cf. the single-device
+        # run_cosmological_subcycled's acc_both_fn)
+        both_acc = (
+            make_domain_p3m_local(cosmo, geom, eps, part="split", **fkw_s)
+            if shortrange == "supercell"
+            else None
+        )
     else:
         local_acc = make_domain_p3m_local(cosmo, geom, eps, **fkw_s)
 
@@ -1111,11 +1234,29 @@ def run_cosmological_domain(
                         jnp.maximum(ov_e2, ov_e), jnp.maximum(ov_b2, ov_b),
                     )
 
-                pos, p, mass, gl, gs, ov_e, ov_b = jax.lax.fori_loop(
-                    0, n_sub, sub,
-                    (pos, p, mass, gl, gs, jnp.int32(0), jnp.int32(0)),
-                )
-                gl_new = long_acc(pos, mass, a1)
+                if both_acc is None:
+                    pos, p, mass, gl, gs, ov_e, ov_b = jax.lax.fori_loop(
+                        0, n_sub, sub,
+                        (pos, p, mass, gl, gs, jnp.int32(0), jnp.int32(0)),
+                    )
+                    gl_new = long_acc(pos, mass, a1)
+                else:
+                    pos, p, mass, gl, gs, ov_e, ov_b = jax.lax.fori_loop(
+                        0, n_sub - 1, sub,
+                        (pos, p, mass, gl, gs, jnp.int32(0), jnp.int32(0)),
+                    )
+                    j = n_sub - 1
+                    p = p + gs * ks1[j]
+                    pos = jnp.mod(pos + p * drs[j], box)
+                    pos, p, mass, ov_e2 = slab_exchange(
+                        pos, p, mass,
+                        box=box, ncell=geom.ncell, n_dev=D,
+                        exchange_capacity=E, axis_name=axis_name,
+                    )
+                    ov_e = jnp.maximum(ov_e, ov_e2)
+                    gs, gl_new, ov_b2 = both_acc(pos, mass, a_sub[j], a1)
+                    ov_b = jnp.maximum(ov_b, ov_b2)
+                    p = p + gs * ks2[j]
                 vel = p + gl_new * kl2
                 return (
                     pos, vel, mass, gl_new, gs,

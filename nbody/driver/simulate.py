@@ -243,29 +243,22 @@ def build_cosmo_force_both(config: SimulationConfig):
     return both_fn
 
 
-@functools.lru_cache(maxsize=64)
-def build_cosmo_force_frozen(config: SimulationConfig):
-    """(freeze_fn, short_frozen_fn, drift_ok_fn) for the subcycled
-    integrator's frozen-plan interior short evals
-    (`nbody.forces.p3m_columns.freeze_column_plan`), or None when the
-    resolved tier has no column geometry / the skin is disabled.
-
-    The geometry (ncell, capacity, window) mirrors p3m_acc's resolution
-    for the tier exactly, so the driver's capacity heals re-jit the
-    frozen path coherently with the fresh one.  Memoized — see
-    build_cosmo_force."""
+def _frozen_geometry(config: SimulationConfig):
+    """(tier, r_s, r_cut, ncell, ck, w, skin) of the config's frozen
+    column-plan geometry, or None when the resolved tier has no column
+    geometry / the skin is disabled.  Mirrors p3m_acc's resolution for
+    the tier exactly, so the driver's capacity heals re-jit the frozen
+    path coherently with the fresh one, and BOTH frozen builders (short
+    + fused both) derive identical plans."""
     from nbody.forces.p3m import p3m_short_params
-    from nbody.forces.p3m_columns import (
-        column_window, freeze_column_plan, p3m_short_columns_frozen,
-        plan_drift_ok,
-    )
+    from nbody.forces.p3m_columns import column_window
 
     if config.solver != "p3m":
         return None
     tier = _resolved_shortrange(config)
     if tier not in ("columns", "supercell"):
         return None
-    box, eps, G = config.box, config.eps, units.COSMO.G
+    box = config.box
     nmesh = config.mesh_size
     n = config.n_particles
     r_s, r_cut, _, _ = p3m_short_params(box, nmesh, n)
@@ -278,18 +271,63 @@ def build_cosmo_force_frozen(config: SimulationConfig):
     skin = config.column_skin
     if skin < 0.0:  # auto: 5% of r_cut, clamped to the frozen-xy slack
         skin = min(0.05 * r_cut, 0.49 * (box / ncell - r_cut))
+        if int(config.rungs) >= 2:
+            # the rung tier's boundary tick is ALWAYS frozen-planned, and
+            # the rung criterion bounds every particle's per-step drift
+            # by ~eta_disp * mesh cell — a skin of several step budgets
+            # amortises the refreeze argsort (~104 ms at N=2^20) over
+            # several global steps instead of paying it every step
+            # (measured round 4: the 0.05 r_cut skin is SMALLER than one
+            # step's drift budget at the default eta)
+            skin_r = 5.0 * float(config.step_eta_disp) * (box / nmesh)
+            skin = max(skin, min(skin_r, 0.49 * (box / ncell - r_cut)))
+    if tier == "supercell":
+        # the frozen supercell deposit/readback stay exact CIC only for
+        # drift within one PM cell of the frozen column (the haloed node
+        # geometry, pm_supercell.supercell_geometry) — clamp the skin so
+        # skin/2 < box/nmesh with margin
+        skin = min(skin, 1.8 * box / nmesh)
     if skin <= 0.0:
         return None
-    skin = float(skin)
+    # widen the window by the skin's slot extent when it exceeds the
+    # auto window's rounding slack: the frozen tables' skin-widened
+    # thresholds must fit inside [start, start + W] or every frozen
+    # eval reads phantom window overflow (an UNCONDITIONAL +128 here
+    # measured 1.80 -> 1.65 steps/s on the subcycled tier, whose small
+    # skin already fits the slack)
+    if not config.column_window:
+        ckq = -(-ck // 128) * 128
+        rc_slots = (r_cut / box) * ckq
+        span = 256.0 + 2.2 * rc_slots + 127.0 + 2.0 * skin * ckq / box
+        w = max(w, -(-int(span) // 128) * 128)
+    return tier, float(r_s), float(r_cut), ncell, ck, w, float(skin)
+
+
+@functools.lru_cache(maxsize=64)
+def build_cosmo_force_frozen(config: SimulationConfig):
+    """(freeze_fn, short_frozen_fn, drift_ok_fn) for the subcycled
+    integrator's frozen-plan interior short evals
+    (`nbody.forces.p3m_columns.freeze_column_plan`), or None when the
+    resolved tier has no column geometry / the skin is disabled.
+    Memoized — see build_cosmo_force."""
+    from nbody.forces.p3m_columns import (
+        freeze_column_plan, p3m_short_columns_frozen, plan_drift_ok,
+    )
+
+    geom = _frozen_geometry(config)
+    if geom is None:
+        return None
+    _, r_s, r_cut, ncell, ck, w, skin = geom
+    box, eps, G = config.box, config.eps, units.COSMO.G
 
     def freeze_fn(pos, mass):
         return freeze_column_plan(
-            pos, mass, box, float(r_cut), ncell, ck, w, skin=skin
+            pos, mass, box, r_cut, ncell, ck, w, skin=skin
         )
 
     def short_frozen_fn(pos, mass, a, plan):
         acc, ov = p3m_short_columns_frozen(
-            pos, mass, plan, box, float(eps), float(r_s), float(r_cut),
+            pos, mass, plan, box, float(eps), r_s, r_cut,
             G=G, ncell=ncell, col_capacity=ck, window=w,
             split=config.force_split, softening=config.softening_kernel,
         )
@@ -299,6 +337,71 @@ def build_cosmo_force_frozen(config: SimulationConfig):
         return plan_drift_ok(pos, plan, box, skin)
 
     return freeze_fn, short_frozen_fn, drift_ok_fn
+
+
+@functools.lru_cache(maxsize=64)
+def build_cosmo_force_frozen_both(config: SimulationConfig):
+    """(freeze_fn, both_frozen_fn, drift_ok_fn, masked_frozen_fn) for
+    the split integrators' frozen-plan evaluations: the BOUNDARY tick's
+    fused supercell split evaluation (`nbody.forces.pm_supercell.
+    p3m_supercell_frozen`) and the rung tier's INTERIOR masked tick
+    (`nbody.forces.p3m_columns.p3m_short_columns_frozen_masked`) on the
+    SAME carried plan — the argsort + window tables are paid per drift
+    budget, and the interior ticks' scatter-based cell-plane builds are
+    gone (VERDICT round-3 item 1).  None unless the resolved tier is
+    supercell (the haloed node geometry is its), non-interlaced, with
+    the skin enabled.  The freeze/drift closures share
+    `_frozen_geometry` with build_cosmo_force_frozen, so one plan
+    serves every frozen evaluation.  Memoized — see
+    build_cosmo_force."""
+    from nbody.forces.p3m_columns import (
+        freeze_column_plan, p3m_short_columns_frozen_masked, plan_drift_ok,
+    )
+    from nbody.forces.pm_supercell import p3m_supercell_frozen
+
+    geom = _frozen_geometry(config)
+    if geom is None or geom[0] != "supercell":
+        return None
+    _, r_s, r_cut, ncell, ck, w, skin = geom
+    if config.interlace:
+        # the shifted pass's support reaches node -2 once drift exceeds
+        # half a PM cell — clamp the skin below that
+        skin = min(skin, 0.9 * config.box / config.mesh_size)
+    box, eps, G = config.box, config.eps, units.COSMO.G
+    nmesh = config.mesh_size
+
+    def freeze_fn(pos, mass):
+        return freeze_column_plan(
+            pos, mass, box, r_cut, ncell, ck, w, skin=skin
+        )
+
+    def both_frozen_fn(pos, mass, a_s, a_l, plan):
+        gl, gs, ov = p3m_supercell_frozen(
+            pos, mass, plan, box, nmesh, G=G, eps=float(eps),
+            r_s=r_s, r_cut=r_cut, deconvolve_p=config.deconvolve_p,
+            split=config.force_split,
+            softening=config.softening_kernel, ncell=ncell,
+            col_capacity=ck, window=w, grad_order=config.pm_gradient,
+            part_split=True, interlace=config.interlace,
+        )
+        return (
+            gs / jnp.asarray(a_s, pos.dtype),
+            gl / jnp.asarray(a_l, pos.dtype),
+            ov,
+        )
+
+    def drift_ok_fn(pos, plan):
+        return plan_drift_ok(pos, plan, box, skin)
+
+    def masked_frozen_fn(pos, mass, act, a, plan):
+        acc, ov = p3m_short_columns_frozen_masked(
+            pos, mass, act, plan, box, float(eps), r_s, r_cut, G=G,
+            ncell=ncell, col_capacity=ck, window=w,
+            split=config.force_split, softening=config.softening_kernel,
+        )
+        return acc / jnp.asarray(a, pos.dtype), ov
+
+    return freeze_fn, both_frozen_fn, drift_ok_fn, masked_frozen_fn
 
 
 @functools.lru_cache(maxsize=64)
@@ -698,18 +801,23 @@ def run_simulation(
         if config.solver == "p3m" and config.subcycles > 1 and not rungs
         else None
     )
-    # fused boundary-tick force for the fixed-grid split integrators
-    # (the adaptive runner keeps separate halves — its while_loop
-    # machinery predates the fused call)
+    # fused boundary-tick force for the split integrators (fixed-grid
+    # AND adaptive — both runners take acc_both_fn since round 4)
     both_fn = (
         build_cosmo_force_both(cfg_run)
-        if (split_fns is not None or rung_fns is not None) and not adaptive
+        if split_fns is not None or rung_fns is not None
         else None
     )
-    # frozen column plans for the subcycled integrator's interior short
-    # evals (skin reuse of the sort/bucketing — see build_cosmo_force_frozen)
+    # frozen column plans: interior subcycle short evals
+    # (build_cosmo_force_frozen) and the fused boundary tick on the
+    # SAME carried plan (build_cosmo_force_frozen_both — supercell tier)
     frozen_fns = (
         build_cosmo_force_frozen(cfg_run) if split_fns is not None else None
+    )
+    frozen_both_fns = (
+        build_cosmo_force_frozen_both(cfg_run)
+        if both_fn is not None
+        else None
     )
     n_sub_eff = 2 ** (rungs - 1) if rungs else max(1, config.subcycles)
 
@@ -829,6 +937,7 @@ def run_simulation(
 
     def rebuild_forces() -> None:
         nonlocal acc_fn, split_fns, rung_fns, both_fn, frozen_fns
+        nonlocal frozen_both_fns
         acc_fn = build_cosmo_force(cfg_run, checked=True)
         if split_fns is not None:
             split_fns = build_cosmo_force_split(cfg_run)
@@ -837,6 +946,7 @@ def run_simulation(
             rung_fns = build_cosmo_force_rungs(cfg_run)
         if both_fn is not None:
             both_fn = build_cosmo_force_both(cfg_run)
+            frozen_both_fns = build_cosmo_force_frozen_both(cfg_run)
 
     def prewarm_capacity(st) -> None:
         """Before a segment, bump the cell capacity to fit the CURRENT
@@ -1063,13 +1173,14 @@ def run_simulation(
         construction re-jits (30-300 s over the remote compile service),
         so rebuild only when a capacity re-jit actually changed the
         force closures — not on every segment."""
-        key = (fn, sfns, rung_fns)
+        key = (fn, sfns, rung_fns, both_fn, frozen_both_fns)
         runner = _runner_cache.get(key)
         if runner is None:
             cell = config.box / config.mesh_size
             if rungs:
                 # CONCEPT's actual structure: adaptive background step
-                # + per-particle rung subdivision
+                # + per-particle rung subdivision; the boundary tick is
+                # the fused both-force, frozen-planned when available
                 from nbody.integrate.cosmo_stepping import (
                     make_adaptive_rung_runner,
                 )
@@ -1083,6 +1194,8 @@ def run_simulation(
                     # chunked dispatches (TPU relay limit)
                     max_steps=max(2, 32 // n_sub_eff),
                     n_rungs=rungs,
+                    acc_both_fn=both_fn,
+                    frozen_both_fns=frozen_both_fns,
                 )
             else:
                 runner = make_adaptive_cosmo_runner(
@@ -1093,6 +1206,7 @@ def run_simulation(
                     max_steps=max(4, 32 // max(1, config.subcycles)),
                     split_fns=sfns,
                     n_sub=config.subcycles,
+                    acc_both_fn=both_fn if sfns is not None else None,
                 )
             _runner_cache.clear()  # stale closures never come back
             _runner_cache[key] = runner
@@ -1105,6 +1219,12 @@ def run_simulation(
                     st, cosmo, a_grid[prev : idx + 1], sfns[0], sfns[1],
                     config.box, config.subcycles, acc_both_fn=both_fn,
                     frozen_fns=frozen_fns,
+                    frozen_both_fn=(
+                        frozen_both_fns[1]
+                        if frozen_both_fns is not None
+                        and frozen_fns is not None
+                        else None
+                    ),
                 )
             else:
                 new, ov = run_cosmological_checked(
@@ -1132,7 +1252,7 @@ def run_simulation(
                 config.box, rungs, config.box / config.mesh_size,
                 eta_disp=config.step_eta_disp,
                 eta_acc=config.step_eta_acc, eps=config.eps,
-                acc_both_fn=both_fn,
+                acc_both_fn=both_fn, frozen_both_fns=frozen_both_fns,
             )
             jax.block_until_ready(new.pos)
             seg_hists.clear()
@@ -1483,36 +1603,49 @@ def _run_simulation_domain(
         )
         + f"(seed={seed}, start_idx={start_idx})"
     )
-    # short-range tier for the plain/subcycled FIXED-grid paths: columns
-    # beyond 64k particles (the single-device production default); the
-    # rung paths and the adaptive runner keep the cells packing (the
-    # masked interior kernel shares its geometry, and their overflow
-    # channel carries plain counts, not the columns tier's field-encoded
-    # word — see run_cosmological_domain)
-    tier = (
-        "columns"
-        if (
-            not rungs
-            and not adaptive
-            and config.solver == "p3m"
-            # the domain tier has no supercell packing (fused deposit is
-            # single-device for now) — supercell resolves to columns here
-            and _resolved_shortrange(config) in ("columns", "supercell")
-        )
-        else "cells"
-    )
+    # short-range tier for the plain/subcycled FIXED-grid paths:
+    # supercell when the mesh tiles a chaining grid that ALSO splits
+    # over the devices (the fused MXU deposit + in-kernel PM readback —
+    # CONCEPT runs its identical production solver under MPI,
+    # `NN.param:81-82` + `Ucertain.py:89`), columns otherwise beyond
+    # 64k particles; the rung paths and the adaptive runner keep the
+    # cells packing (the masked interior kernel shares its geometry,
+    # and their overflow channel carries plain counts, not the columns
+    # tier's field-encoded word — see run_cosmological_domain)
+    tier = "cells"
+    if not rungs and not adaptive and config.solver == "p3m":
+        resolved = _resolved_shortrange(config)
+        if resolved == "supercell":
+            from nbody.forces.p3m import p3m_short_params, supercell_ncell
+
+            sc = supercell_ncell(
+                config.box, config.mesh_size,
+                p3m_short_params(
+                    config.box, config.mesh_size, config.n_particles
+                )[1],
+            )
+            tier = (
+                "supercell"
+                if sc and sc % n_dev == 0 and not config.interlace
+                else "columns"
+            )
+        elif resolved == "columns":
+            tier = "columns"
     # start at any capacities a previous same-geometry run learned through
     # self-heals (see _CAPACITY_MEMORY) — mid-run heals cost a retrace +
     # compile + segment re-run each
     _mem = _CAPACITY_MEMORY.get(_capacity_signature(config), {})
     ck = cw = 0
-    if tier == "columns":
+    if tier in ("columns", "supercell"):
         from nbody.forces.p3m_columns import column_window
 
-        # size to the DOMAIN geometry's ncell (slab-divisibility can make
-        # it differ from the single-device tier's): mean column + 6 sigma
-        # Poisson tail, 128-lane aligned (cf. column_params)
-        mean_col = config.n_particles / geom.ncell**2
+        # size to the TIER's chaining grid (the supercell grid is the
+        # mesh-divisor one; the columns grid is the DOMAIN geometry's
+        # ncell, which slab-divisibility can make differ from the
+        # single-device tier's): mean column + 6 sigma Poisson tail,
+        # 128-lane aligned (cf. column_params)
+        nct = sc if tier == "supercell" else geom.ncell
+        mean_col = config.n_particles / nct**2
         ck = config.column_capacity or max(
             -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128,
             _mem.get("column_capacity", 0),
@@ -1523,7 +1656,11 @@ def _run_simulation_domain(
         f"Domain decomposition: {n_dev}x1x1 "
         f"({geom.ncell} chaining cells, {C} slots/device, "
         f"bucket capacity {geom.bucket_capacity}, short-range tier {tier}"
-        + (f", column capacity {ck}" if tier == "columns" else "")
+        + (
+            f", column capacity {ck}"
+            if tier in ("columns", "supercell")
+            else ""
+        )
         + ")"
     )
 
@@ -1598,7 +1735,7 @@ def _run_simulation_domain(
                     f"rung target-plane overflow ({ov_t} particles) — "
                     f"doubling rung capacity to {rcap}, re-running segment"
                 )
-            if ov_b and tier == "columns":
+            if ov_b and tier in ("columns", "supercell"):
                 # field-encoded word: bucket/ghost spills ride the high
                 # bits (heal = col_capacity), window misses the low 16
                 # (heal = widen the window — much cheaper)

@@ -348,10 +348,11 @@ def p3m_acc(
         shortrange = "allpairs"
     if shortrange == "supercell":
         # fused tier: one sort, MXU deposit, PM readback inside the
-        # column kernel (nbody.forces.pm_supercell).  Falls back to the
-        # columns tier when the chaining grid cannot tile the mesh, for
-        # split-force halves (part != 'both'), or interlaced forces
-        # (two-grid readback).
+        # column kernel (nbody.forces.pm_supercell) — interlaced forces
+        # included (second deposit + second in-kernel contraction when
+        # S <= 12).  Falls back to the columns tier when the chaining
+        # grid cannot tile the mesh or for split-force halves
+        # (part in 'long'/'short').
         sc_ncell = supercell_ncell(box, nmesh, float(r_cut))
         if sc_ncell is None:
             shortrange = "columns"
@@ -364,7 +365,7 @@ def p3m_acc(
                 -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128
             )
             w = window if window else column_window(box, float(r_cut), ck)
-            if part in ("both", "split") and not interlace:
+            if part in ("both", "split"):
                 out = p3m_supercell_acc(
                     pos, mass, box, nmesh, G=G, eps=float(eps),
                     r_s=float(r_s), r_cut=float(r_cut),
@@ -372,6 +373,7 @@ def p3m_acc(
                     softening=softening, ncell=sc_ncell,
                     col_capacity=ck, window=w, grad_order=grad_order,
                     part_split=(part == "split"),
+                    interlace=interlace,
                 )
                 if part == "split":
                     return out  # (acc_long, acc_short, overflow)
@@ -558,12 +560,13 @@ def p3m_short_cells(
 
 def supercell_ncell(box: float, nmesh: int, r_cut: float) -> int | None:
     """Chaining-grid side for the supercell tier: the LARGEST divisor of
-    nmesh with column side box/ncell >= r_cut, nmesh/ncell <= 15 (so the
-    (S+1)^2 CIC node grid packs into 256 MXU rows) and ncell >= 3 (xy
+    nmesh with column side box/ncell >= r_cut, nmesh/ncell <= 13 (so the
+    HALOED (S+3)^2 CIC node grid packs into 256 MXU rows — see
+    `nbody.forces.pm_supercell.supercell_geometry`) and ncell >= 3 (xy
     ghost ring) — or None when the mesh admits no such tiling (the
     caller falls back to the columns tier)."""
     for c in range(int(box / float(r_cut)), 2, -1):
-        if nmesh % c == 0 and nmesh // c <= 15:
+        if nmesh % c == 0 and nmesh // c <= 13:
             return c
     return None
 

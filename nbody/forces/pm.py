@@ -235,20 +235,69 @@ def pm_force_grids_from_rho(
     dtype = rho.dtype
     rho_k = jnp.fft.rfftn(rho)
     delta_k = rho_k / (mass_sum / nmesh**3)
+    phi_k = _phi_from_delta_k(
+        delta_k, box, nmesh, source_amp, deconvolve_p, longrange_split,
+        spline_split, dtype,
+    )
+    return _force_grids(phi_k, box, nmesh, grad_order, dtype)
+
+
+def _phi_from_delta_k(delta_k, box, nmesh, source_amp, deconvolve_p,
+                      longrange_split, spline_split, dtype):
+    """Deconvolution + (split-filtered) Poisson solve in k space —
+    shared by the from-rho grid builders."""
     if deconvolve_p:
         W = cic_window(nmesh, box, p=deconvolve_p, dtype=dtype)
         delta_k = delta_k / jnp.maximum(W, 1e-8)
     if spline_split > 0.0:
         filt = spline_longrange_filter(nmesh, box, spline_split, dtype)
-        phi_k = -delta_k * filt * source_amp
-    else:
-        kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=dtype)
-        k2 = kx**2 + ky**2 + kz**2
-        inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
-        phi_k = -delta_k * inv_k2 * source_amp
-        if longrange_split > 0.0:
-            phi_k = phi_k * jnp.exp(-k2 * (longrange_split**2))
-    return _force_grids(phi_k, box, nmesh, grad_order, dtype)
+        return -delta_k * filt * source_amp
+    kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=dtype)
+    k2 = kx**2 + ky**2 + kz**2
+    inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+    phi_k = -delta_k * inv_k2 * source_amp
+    if longrange_split > 0.0:
+        phi_k = phi_k * jnp.exp(-k2 * (longrange_split**2))
+    return phi_k
+
+
+def pm_force_grids_from_rho_pair(
+    rho0,
+    rho1,
+    mass_sum,
+    box: float,
+    nmesh: int,
+    *,
+    source_amp,
+    deconvolve_p: int = 2,
+    longrange_split: float = 0.0,
+    spline_split: float = 0.0,
+    grad_order: str = "fd4",
+):
+    """Interlaced sibling of :func:`pm_force_grids_from_rho`: ``rho1``
+    deposited at a +half-cell shift, the deposits alias-cancelled in k
+    (phase e^{-i k.d/2} — CLAUDE.md measurement convention), and BOTH
+    force-readback grid sets returned stacked (6, nmesh^3): rows 0-2
+    the unshifted grids, rows 3-5 the half-cell-shifted ones (phase
+    e^{+i k.d/2}), for the two-pass force gather CONCEPT's interlacing
+    requires (`nbody.forces.pm._pm_acc_impl`; supercell consumer:
+    `nbody.forces.pm_supercell`)."""
+    dtype = rho0.dtype
+    kx, ky, kz = kvecs(nmesh, box, rfft=True, dtype=dtype)
+    d = box / nmesh
+    ph_c = jnp.exp(-1j * ((kx + ky + kz) * (d / 2.0)).astype(dtype))
+    delta_k = (
+        0.5 * (jnp.fft.rfftn(rho0) + jnp.fft.rfftn(rho1) * ph_c)
+        / (mass_sum / nmesh**3)
+    )
+    phi_k = _phi_from_delta_k(
+        delta_k, box, nmesh, source_amp, deconvolve_p, longrange_split,
+        spline_split, dtype,
+    )
+    grids = _force_grids(phi_k, box, nmesh, grad_order, dtype)
+    ph_f = jnp.exp(1j * ((kx + ky + kz) * (d / 2.0)).astype(dtype))
+    grids1 = _force_grids(phi_k, box, nmesh, grad_order, dtype, phase=ph_f)
+    return jnp.concatenate([grids, grids1], axis=0)
 
 
 @functools.partial(

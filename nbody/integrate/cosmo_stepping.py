@@ -150,11 +150,12 @@ def run_cosmological_checked(
     jax.jit,
     static_argnames=(
         "acc_long_fn", "acc_short_fn", "n_sub", "acc_both_fn",
-        "frozen_fns",
+        "frozen_fns", "frozen_both_fn",
     ),
 )
 def _run_scan_subcycled(state, xs, box, acc_long_fn, acc_short_fn, n_sub,
-                        acc_both_fn=None, frozen_fns=None):
+                        acc_both_fn=None, frozen_fns=None,
+                        frozen_both_fn=None):
     if acc_both_fn is not None:
         gs0, gl0, ov0 = acc_both_fn(
             state.pos, state.mass, state.time, state.time
@@ -210,14 +211,29 @@ def _run_scan_subcycled(state, xs, box, acc_long_fn, acc_short_fn, n_sub,
         else:
             # the trailing subcycle's short force and the closing long
             # force are both needed at the SAME final positions — one
-            # fused evaluation (p3m_acc part='split') serves both
+            # fused evaluation (p3m_acc part='split') serves both; with
+            # frozen_both_fn it additionally rides the carried column
+            # plan (refrozen on drift demand), so the boundary tick
+            # skips the argsort + window tables too
             pos, p, gs, ov, plan = jax.lax.fori_loop(
                 0, n_sub - 1, sub, (pos, p, gs, ov, plan)
             )
             j = n_sub - 1
             p = p + gs * ks1[j]
             pos = jnp.mod(pos + p * drs[j], box)
-            gs, gl_new, o = acc_both_fn(pos, st.mass, a_sub[j], a1)
+            if frozen_both_fn is not None and frozen_fns is not None:
+                freeze_fn, _, drift_ok_fn = frozen_fns
+                plan = jax.lax.cond(
+                    drift_ok_fn(pos, plan),
+                    lambda pl_: pl_,
+                    lambda pl_: freeze_fn(pos, st.mass),
+                    plan,
+                )
+                gs, gl_new, o = frozen_both_fn(
+                    pos, st.mass, a_sub[j], a1, plan
+                )
+            else:
+                gs, gl_new, o = acc_both_fn(pos, st.mass, a_sub[j], a1)
             ov = jnp.maximum(ov, o)
             p = p + gs * ks2[j]
         p = p + gl_new * kl2
@@ -240,6 +256,7 @@ def run_cosmological_subcycled(
     n_sub: int,
     acc_both_fn=None,
     frozen_fns=None,
+    frozen_both_fn=None,
 ):
     """Split-Hamiltonian KDK: far field at the global step, short range
     subcycled ``n_sub``x inside it.
@@ -266,7 +283,12 @@ def run_cosmological_subcycled(
     forces on a frozen column plan carried across steps and refrozen on
     drift demand (`nbody.forces.p3m_columns.freeze_column_plan` — the
     MD skin trick; the argsort is paid per drift budget, not per
-    subcycle).  Returns (final_state, max overflow).
+    subcycle).  Optional ``frozen_both_fn(pos, mass, a_s, a_l, plan) ->
+    (gs, gl, overflow)`` additionally rides the SAME carried plan for
+    the fused boundary tick (`nbody.forces.pm_supercell.
+    p3m_supercell_frozen`) — with it, no evaluation anywhere in the
+    scan pays the argsort while drift stays inside the skin.  Returns
+    (final_state, max overflow).
     """
     a_grid = np.asarray(a_grid, dtype=np.float64)
     n_steps = len(a_grid) - 1
@@ -297,6 +319,7 @@ def run_cosmological_subcycled(
     return _run_scan_subcycled(
         state, xs, jnp.asarray(box, dtype), acc_long_fn, acc_short_fn,
         int(n_sub), acc_both_fn=acc_both_fn, frozen_fns=frozen_fns,
+        frozen_both_fn=frozen_both_fn,
     )
 
 
@@ -330,6 +353,7 @@ def make_adaptive_cosmo_runner(
     n_rungs: int = 8,
     split_fns=None,
     n_sub: int = 1,
+    acc_both_fn=None,
 ):
     """Build a jitted adaptive KDK chunk runner.
 
@@ -358,6 +382,10 @@ def make_adaptive_cosmo_runner(
     actual structure (adaptive global step + rung subdivision): the far
     field kicks at the chosen step's half-points while the short-range
     KDK runs n_sub x inside it, all factors Gauss-Legendre on device.
+    Optional ``acc_both_fn(pos, mass, a_short, a_long) -> (gs, gl,
+    overflow)`` fuses the trailing subcycle's short force with the
+    closing long force (one supercell evaluation), exactly as the
+    fixed-grid :func:`run_cosmological_subcycled` does.
 
     Returns run(state, a_end) ->
     (state, n_steps:int32, overflow:int32, dla_last, rung_hist (n_rungs,)).
@@ -423,8 +451,7 @@ def make_adaptive_cosmo_runner(
             p = st.vel + gl * kl1
             pos = st.pos
 
-            def sub(j, c):
-                pos, p, gs, ov2 = c
+            def sub_factors(j):
                 b0 = jnp.exp(jnp.log(a0) + j * lnr)
                 b1 = jnp.exp(jnp.log(a0) + (j + 1) * lnr)
                 bm = jnp.sqrt(b0 * b1)
@@ -433,15 +460,33 @@ def make_adaptive_cosmo_runner(
                 drs = _integrate(
                     lambda a: 1.0 / (a**3 * _H(a)), b0, b1, dtype
                 )
+                return b1, ks1, drs, ks2
+
+            def sub(j, c):
+                pos, p, gs, ov2 = c
+                b1, ks1, drs, ks2 = sub_factors(j)
                 p1 = p + gs * ks1
                 pos1 = jnp.mod(pos + p1 * drs, box)
                 gs1, o = short_fn(pos1, st.mass, b1)
                 return pos1, p1 + gs1 * ks2, gs1, jnp.maximum(ov2, o)
 
-            pos, p, gs, ov_new = jax.lax.fori_loop(
-                0, n_sub, sub, (pos, p, gs, jnp.int32(0))
-            )
-            gl_new = long_fn(pos, st.mass, a1)
+            if acc_both_fn is None:
+                pos, p, gs, ov_new = jax.lax.fori_loop(
+                    0, n_sub, sub, (pos, p, gs, jnp.int32(0))
+                )
+                gl_new = long_fn(pos, st.mass, a1)
+            else:
+                # trailing subcycle's short force + closing long force
+                # from ONE fused evaluation (same positions)
+                pos, p, gs, ov_new = jax.lax.fori_loop(
+                    0, n_sub - 1, sub, (pos, p, gs, jnp.int32(0))
+                )
+                b1, ks1, drs, ks2 = sub_factors(n_sub - 1)
+                p = p + gs * ks1
+                pos = jnp.mod(pos + p * drs, box)
+                gs, gl_new, o = acc_both_fn(pos, st.mass, b1, a1)
+                ov_new = jnp.maximum(ov_new, o)
+                p = p + gs * ks2
             p = p + gl_new * kl2
             return (
                 st.replace(pos=pos, vel=p, time=a1),
@@ -544,6 +589,7 @@ def run_cosmological_rungs(
     eta_acc: float = 0.025,
     eps: float = 0.0,
     acc_both_fn=None,
+    frozen_both_fns=None,
 ):
     """Block-step KDK with per-particle rungs (the full CONCEPT scheme).
 
@@ -598,7 +644,7 @@ def run_cosmological_rungs(
         acc_short_masked_fn, int(n_rungs), jnp.asarray(cell, dtype),
         jnp.asarray(eta_disp, dtype),
         jnp.asarray(2.0 * eta_acc * eps, dtype), cosmo,
-        acc_both_fn=acc_both_fn,
+        acc_both_fn=acc_both_fn, frozen_both_fns=frozen_both_fns,
     )
 
 
@@ -629,20 +675,31 @@ def _assign_rungs(dla_i, dla_step, n_rungs):
 
 def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
                      acc_short_fn, acc_short_masked_fn,
-                     acc_both_fn=None):
+                     acc_both_fn=None, frozen_both_fns=None, plan=None):
     """One global KDK step with per-particle rung short-range kicks.
 
     ``x = (a0, a1, kl1, kl2, Fk, Dr, A_sub)`` — long half-kick factors
     plus the per-tick rung kick tables (host tables from
     :func:`rung_kick_tables` on the fixed grid, or their on-device
     equivalent from :func:`_rung_tables_device` under the adaptive
-    chooser).  Returns (st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t) —
+    chooser).  With ``frozen_both_fns = (freeze_fn, both_frozen_fn,
+    drift_ok_fn)`` the boundary tick evaluates the fused both-force on
+    the carried column ``plan`` (refrozen on drift demand) — the
+    argsort + window tables are paid per drift budget, not per step
+    (interior masked ticks keep the cells geometry regardless).
+    Returns (st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t, plan) —
     BOUNDARY-tick overflow (``acc_short_fn``, which may ride a different
     short-range tier, e.g. columns) is reported separately from the
     masked kernel's SOURCE-plane overflow so the driver self-heals the
     right capacity knob."""
     a0, a1, kl1, kl2, Fk, Dr, A_sub = x
     n_sub = 2 ** (n_rungs - 1)
+
+    if frozen_both_fns is not None:
+        freeze_fn, both_frozen_fn, drift_ok_fn = frozen_both_fns[:3]
+        masked_frozen_fn = (
+            frozen_both_fns[3] if len(frozen_both_fns) > 3 else None
+        )
 
     p = st.vel + gl * kl1                      # long opening half-kick
     p = p + gs * Fk[0][rung][:, None]          # tick-0 short kicks
@@ -660,27 +717,68 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
             # empty (early times: every particle sits on rung 0, so
             # interior ticks would pay plane-build + kernel for
             # nothing; lax.cond branches at run time on device)
-            g, o, ot, oc = jax.lax.cond(
-                jnp.any(act),
-                lambda pos=pos, act=act, j=j: acc_short_masked_fn(
-                    pos, st.mass, act, A_sub[j - 1]
-                ),
-                lambda: (
-                    jnp.zeros_like(st.pos),
-                    jnp.int32(0),
-                    jnp.int32(0),
-                    jnp.int32(0),
-                ),
-            )
-            ov_t = jnp.maximum(ov_t, ot)
-            occ_t = jnp.maximum(occ_t, oc)
-            ov_s = jnp.maximum(ov_s, o)
+            if frozen_both_fns is not None and masked_frozen_fn is not None:
+                # interior masked tick on the carried frozen plan —
+                # active-chunk tables instead of two plane builds; the
+                # drift check refreezes mid-step when needed (demand is
+                # then bounded by the refrozen plan's overflow word)
+                def _masked(pos=pos, act=act, j=j, plan_=None):
+                    plan2 = jax.lax.cond(
+                        drift_ok_fn(pos, plan_),
+                        lambda pl_: pl_,
+                        lambda pl_: freeze_fn(pos, st.mass),
+                        plan_,
+                    )
+                    g, o = masked_frozen_fn(
+                        pos, st.mass, act, A_sub[j - 1], plan2
+                    )
+                    return g, o, plan2
+
+                g, o, plan = jax.lax.cond(
+                    jnp.any(act),
+                    lambda pl_, pos=pos, act=act, j=j: _masked(
+                        pos=pos, act=act, j=j, plan_=pl_
+                    ),
+                    lambda pl_: (
+                        jnp.zeros_like(st.pos), jnp.int32(0), pl_,
+                    ),
+                    plan,
+                )
+                ov_b = jnp.maximum(ov_b, o)
+            else:
+                g, o, ot, oc = jax.lax.cond(
+                    jnp.any(act),
+                    lambda pos=pos, act=act, j=j: acc_short_masked_fn(
+                        pos, st.mass, act, A_sub[j - 1]
+                    ),
+                    lambda: (
+                        jnp.zeros_like(st.pos),
+                        jnp.int32(0),
+                        jnp.int32(0),
+                        jnp.int32(0),
+                    ),
+                )
+                ov_t = jnp.maximum(ov_t, ot)
+                occ_t = jnp.maximum(occ_t, oc)
+                ov_s = jnp.maximum(ov_s, o)
         else:
             # boundary tick: the full short force here and the closing
             # long force two lines down are evaluated at the SAME
             # positions — acc_both_fn (p3m_acc part='split') serves both
-            # from one fused plane build/deposit when available
-            if acc_both_fn is None:
+            # from one fused plane build/deposit when available, and
+            # frozen_both_fns additionally skips the plane build's
+            # argsort while drift stays inside the plan's skin
+            if frozen_both_fns is not None:
+                plan = jax.lax.cond(
+                    drift_ok_fn(pos, plan),
+                    lambda pl_: pl_,
+                    lambda pl_: freeze_fn(pos, st.mass),
+                    plan,
+                )
+                g, gl_new, o = both_frozen_fn(
+                    pos, st.mass, A_sub[j - 1], a1, plan
+                )
+            elif acc_both_fn is None:
                 g, o = acc_short_fn(pos, st.mass, A_sub[j - 1])
                 gl_new = None
             else:
@@ -691,23 +789,24 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
             ov_b = jnp.maximum(ov_b, o)
         p = p + g * Fk[j][rung][:, None]
 
-    if acc_both_fn is None:
+    if acc_both_fn is None and frozen_both_fns is None:
         gl_new = acc_long_fn(pos, st.mass, a1)
     p = p + gl_new * kl2
     st = st.replace(pos=pos, vel=p, time=a1)
-    return st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t
+    return st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t, plan
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "acc_long_fn", "acc_short_fn", "acc_short_masked_fn", "n_rungs",
-        "cosmo", "acc_both_fn",
+        "cosmo", "acc_both_fn", "frozen_both_fns",
     ),
 )
 def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
                     acc_short_masked_fn, n_rungs, cell, eta_disp,
-                    eta_acc_eps2, cosmo, acc_both_fn=None):
+                    eta_acc_eps2, cosmo, acc_both_fn=None,
+                    frozen_both_fns=None):
     H0, Om, OL = float(cosmo.H0), float(cosmo.Omega_m), float(cosmo.Omega_L)
 
     if acc_both_fn is not None:
@@ -717,9 +816,13 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
     else:
         gl0 = acc_long_fn(state.pos, state.mass, state.time)
         gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
+    if frozen_both_fns is not None:
+        plan0 = frozen_both_fns[0](state.pos, state.mass)
+    else:
+        plan0 = jnp.int32(0)  # placeholder carry leaf
 
     def body(carry, x):
-        st, gl, gs, ov = carry
+        st, gl, gs, ov, plan = carry
         a0, a1 = x[0], x[1]
 
         dla_i = _rung_demand(st.vel, gl, gs, a0, cell, eta_disp,
@@ -727,10 +830,13 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
         rung = _assign_rungs(dla_i, jnp.log(a1) - jnp.log(a0), n_rungs)
         hist = jnp.bincount(rung, length=n_rungs).astype(jnp.int32)
 
-        st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t = _rung_block_step(
-            st, gl, gs, rung, x, box, n_rungs,
-            acc_long_fn, acc_short_fn, acc_short_masked_fn,
-            acc_both_fn=acc_both_fn,
+        st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t, plan = (
+            _rung_block_step(
+                st, gl, gs, rung, x, box, n_rungs,
+                acc_long_fn, acc_short_fn, acc_short_masked_fn,
+                acc_both_fn=acc_both_fn,
+                frozen_both_fns=frozen_both_fns, plan=plan,
+            )
         )
         ovb, ovm, ovt, occt = ov
         return (
@@ -741,12 +847,13 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
                 jnp.maximum(ovt, ov_t),
                 jnp.maximum(occt, occ_t),
             ),
+            plan,
         ), hist
 
-    (final, _, _, (ovb, ovm, ovt, occt)), hists = jax.lax.scan(
+    (final, _, _, (ovb, ovm, ovt, occt), _), hists = jax.lax.scan(
         body,
         (state, gl0, gs0,
-         (ov0, jnp.int32(0), jnp.int32(0), jnp.int32(0))),
+         (ov0, jnp.int32(0), jnp.int32(0), jnp.int32(0)), plan0),
         xs,
     )
     return final, ovb, ovm, ovt, occt, hists
@@ -817,6 +924,8 @@ def make_adaptive_rung_runner(
     eps: float = 0.0,
     max_steps: int = 8,
     n_rungs: int = 3,
+    acc_both_fn=None,
+    frozen_both_fns=None,
 ):
     """Adaptive global step COMPOSED with per-particle rungs — CONCEPT's
     actual integrator structure (adaptive background step + rung
@@ -856,8 +965,17 @@ def make_adaptive_rung_runner(
         etad = jnp.asarray(eta_disp, dtype)
         etaa = jnp.asarray(eta_acc_eps2, dtype)
 
-        gl0 = acc_long_fn(state.pos, state.mass, state.time)
-        gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
+        if acc_both_fn is not None:
+            gs0, gl0, ov0 = acc_both_fn(
+                state.pos, state.mass, state.time, state.time
+            )
+        else:
+            gl0 = acc_long_fn(state.pos, state.mass, state.time)
+            gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
+        if frozen_both_fns is not None:
+            plan0 = frozen_both_fns[0](state.pos, state.mass)
+        else:
+            plan0 = jnp.int32(0)  # placeholder carry leaf
         hist0 = jnp.zeros((n_rungs,), jnp.int32)
 
         def cond(carry):
@@ -865,7 +983,7 @@ def make_adaptive_rung_runner(
             return jnp.logical_and(st.time < a_end_, n < max_steps)
 
         def body(carry):
-            st, gl, gs, ov4, _dla, _hist, n = carry
+            st, gl, gs, ov4, _dla, _hist, n, plan = carry
             a0 = st.time
             dla_i = _rung_demand(st.vel, gl, gs, a0, celld, etad, etaa,
                                  H0, Om, OL)
@@ -881,10 +999,14 @@ def make_adaptive_rung_runner(
             )
             rung = _assign_rungs(dla_i, dla, n_rungs)
             hist = jnp.bincount(rung, length=n_rungs).astype(jnp.int32)
-            st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t = _rung_block_step(
-                st, gl, gs, rung, (a0, a1, kl1, kl2, Fk, Dr, A_sub),
-                boxd, n_rungs,
-                acc_long_fn, acc_short_fn, acc_short_masked_fn,
+            st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t, plan = (
+                _rung_block_step(
+                    st, gl, gs, rung, (a0, a1, kl1, kl2, Fk, Dr, A_sub),
+                    boxd, n_rungs,
+                    acc_long_fn, acc_short_fn, acc_short_masked_fn,
+                    acc_both_fn=acc_both_fn,
+                    frozen_both_fns=frozen_both_fns, plan=plan,
+                )
             )
             ovb, ovm, ovt, occt = ov4
             return (
@@ -895,16 +1017,16 @@ def make_adaptive_rung_runner(
                     jnp.maximum(ovt, ov_t),
                     jnp.maximum(occt, occ_t),
                 ),
-                dla, hist, n + 1,
+                dla, hist, n + 1, plan,
             )
 
         init = (
             state, gl0, gs0,
             (ov0, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
-            jnp.asarray(dla_max, dtype), hist0, jnp.int32(0),
+            jnp.asarray(dla_max, dtype), hist0, jnp.int32(0), plan0,
         )
-        st, _, _, (ovb, ovm, ovt, occt), dla, hist, n = jax.lax.while_loop(
-            cond, body, init
+        (st, _, _, (ovb, ovm, ovt, occt), dla, hist, n, _) = (
+            jax.lax.while_loop(cond, body, init)
         )
         return st, n, ovb, ovm, ovt, occt, dla, hist
 

