@@ -124,6 +124,82 @@ def peculiar_energies(state: ParticleState, cosmo: Cosmology, box: float,
     return T, W_raw - W_self
 
 
+def peculiar_energies_domain(state: ParticleState, cosmo: Cosmology,
+                             box: float, nmesh: int, mesh,
+                             axis_name: str = "shard",
+                             deconvolve_p: int = 2):
+    """Sharded sibling of :func:`peculiar_energies` for a slab-resident
+    domain state (`nbody.distributed.domain.domain_decompose` layout:
+    parked rows have mass 0): T and W are psum'd partial reductions,
+    the potential rides the slab deposit + distributed FFT — nothing
+    larger than nmesh^3/D per device, so multi-chip run.logs get the
+    same Layzer-Irvine "Energy budget" line as single-device ones
+    (round-3 VERDICT weak #3)."""
+    from jax.sharding import PartitionSpec as P
+
+    from nbody.distributed.domain import _shard_map, slab_deposit
+    from nbody.distributed.fft import kvecs_slab, slab_irfftn, slab_rfftn
+
+    D = mesh.shape[axis_name]
+    a = float(state.time)
+    amp = 1.5 * float(cosmo.Omega_m) * float(cosmo.H0) ** 2 / a
+    # materialize the self-energy table BEFORE shard_map traces local()
+    # (the builder reads values back to host, which is illegal under
+    # tracing); the explicit res matches _self_potential_per_particle's
+    # positional call — lru_cache keys defaults and positionals apart
+    _self_potential_table(float(box), int(nmesh), 6)
+
+    def local(pos_l, vel_l, mass_l):
+        dtype = pos_l.dtype
+        d = jax.lax.axis_index(axis_name)
+        valid = mass_l > 0
+        v2 = jnp.sum(vel_l * vel_l, axis=-1) / jnp.asarray(a * a, dtype)
+        T = 0.5 * jax.lax.psum(jnp.sum(mass_l * v2), axis_name)
+
+        grid_l = slab_deposit(
+            pos_l, mass_l, box=box, nmesh=nmesh, n_dev=D,
+            axis_name=axis_name,
+        )
+        M = jax.lax.psum(jnp.sum(mass_l), axis_name)
+        delta_k = slab_rfftn(grid_l, axis_name) / (M / nmesh**3)
+        kx, ky, kz = kvecs_slab(nmesh, box, d, D, dtype)
+        if deconvolve_p:
+            h = box / nmesh
+
+            def sinc(k):
+                return jnp.sinc(k * (h / (2.0 * np.pi)))
+
+            W_k = (sinc(kx) * sinc(ky) * sinc(kz)) ** deconvolve_p
+            delta_k = delta_k / jnp.maximum(W_k, 1e-8)
+        k2 = kx**2 + ky**2 + kz**2
+        inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+        phi_k = -jnp.asarray(amp, dtype) * delta_k * inv_k2
+        phi_l = slab_irfftn(phi_k, nmesh, axis_name)
+        from nbody.distributed.domain import slab_gather3
+
+        phi_at = slab_gather3(
+            phi_l[None], pos_l, box=box, n_dev=D, axis_name=axis_name
+        )[:, 0]
+        W_raw = 0.5 * jax.lax.psum(jnp.sum(mass_l * phi_at), axis_name)
+
+        u = _self_potential_per_particle(jnp.mod(pos_l, box), box, nmesh)
+        W_self = (
+            0.5 * amp * nmesh**3 / M
+            * jax.lax.psum(
+                jnp.sum(jnp.where(valid, mass_l**2 * u, 0.0)), axis_name
+            )
+        )
+        return T, W_raw - W_self
+
+    run = _shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return run(state.pos, state.vel, state.mass)
+
+
 def peculiar_energies_exact(state: ParticleState, cosmo: Cosmology,
                             box: float, r_s: float | None = None,
                             n_max: int = 10):

@@ -86,8 +86,17 @@ class SimulationConfig:
     softening_kernel: str = "spline"  # 'spline' (cubic spline, exact
     # Newton beyond 2.8 eps — CONCEPT's default kernel; eps is the
     # Plummer-equivalent length) | 'plummer'
-    deconvolve_p: int = 2
+    deconvolve_p: int = 2  # sinc exponent divided out of delta_k: 2 =
+    # deposit-only (the measured non-interlaced choice, see
+    # nbody.forces.pm.pm_potential_k), 4 = CONCEPT's both-pass
+    # 'deconvolve': (True, True) force option
+    # (`Different_Sizes/Giant.param:53-58`), 0 = off
     interlace: bool = False
+    cell_centered: bool = False  # half-cell grid offset for the PM
+    # deposit/gather — CONCEPT's default discretization; False is its
+    # explicit "vertex-diskretisering" (`Giant.param:62`), this
+    # solver's native convention.  PM solver only; the P3M tiers'
+    # short-range/mesh split is discretization-translation-invariant.
     pm_gradient: str = "fd4"  # mesh-force differentiation kernel:
     # 'fd4' (4-point k-space difference, Gadget-class default) | 'fd2' |
     # 'spectral' (exact ik — CONCEPT's 'differentiation': 'Fourier'

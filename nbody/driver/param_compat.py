@@ -148,6 +148,20 @@ def config_from_param_namespace(ns: dict) -> SimulationConfig:
             inter = grav.get(kw.get("solver", "pm")) or grav.get("pm") or grav.get("p3m")
         if isinstance(inter, tuple):
             kw["interlace"] = bool(inter[0])
+        # 'deconvolve': {'gravity': {'pm': (True, True)}} — CONCEPT's
+        # (upstream deposit, downstream interpolation) deconvolution
+        # pair (`Different_Sizes/Giant.param:53-58`,
+        # `TheFeedingPipeline/NN.param:67-71`): each True contributes a
+        # sinc^2 divided out of delta_k (deconvolve_p = 2 per pass)
+        dec = po.get("deconvolve")
+        if isinstance(dec, dict):
+            grav = dec.get("gravity", {})
+            dec = (
+                grav.get(kw.get("solver", "pm")) or grav.get("pm")
+                or grav.get("p3m")
+            )
+        if isinstance(dec, tuple):
+            kw["deconvolve_p"] = 2 * sum(bool(x) for x in dec)
         # 'differentiation': {'all': {'gravity': {'p3m': 'Fourier'}}}
         # (reference `TheFeedingPipeline/NN.param:55-60`) — CONCEPT's
         # 'Fourier' is the exact-ik kernel ('spectral' here); an integer
@@ -164,6 +178,14 @@ def config_from_param_namespace(ns: dict) -> SimulationConfig:
             kw["pm_gradient"] = "spectral"
         elif isinstance(diff, (int, float)) and int(diff) in (1, 2):
             kw["pm_gradient"] = f"fd{2 * int(diff)}"
+
+    # grid discretization: CONCEPT's cell_centered (True = grid values
+    # at cell centers, its default; the reference's PM study sets False,
+    # "vertex-diskretisering" — this framework's native convention,
+    # `Different_Sizes/Giant.param:62`)
+    cc = ns.get("cell_centered")
+    if isinstance(cc, bool):
+        kw["cell_centered"] = cc
 
     # softening kernel (CONCEPT: 'softening_kernel' = {'matter': ...} or
     # a plain string; its global default is 'spline', as is ours)

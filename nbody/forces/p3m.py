@@ -354,16 +354,25 @@ def p3m_acc(
         # grid cannot tile the mesh or for split-force halves
         # (part in 'long'/'short').
         sc_ncell = supercell_ncell(box, nmesh, float(r_cut))
-        if sc_ncell is None:
+        from nbody.forces.pm_supercell import supercell_stride_ok
+
+        if sc_ncell is not None:
+            mean_col = n / sc_ncell**2
+            ck = capacity if capacity is not None else (
+                -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128
+            )
+        if sc_ncell is None or not supercell_stride_ok(
+            box, float(r_cut), ck
+        ):
+            # no tiling chaining grid, or a clustered-healed capacity
+            # whose stride would OOM the fused kernel's scoped VMEM —
+            # the columns tier carries the same physics with leaner
+            # blocks
             shortrange = "columns"
         else:
             from nbody.forces.p3m_columns import column_window
             from nbody.forces.pm_supercell import p3m_supercell_acc
 
-            mean_col = n / sc_ncell**2
-            ck = capacity if capacity is not None else (
-                -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128
-            )
             w = window if window else column_window(box, float(r_cut), ck)
             if part in ("both", "split"):
                 out = p3m_supercell_acc(
@@ -398,6 +407,28 @@ def p3m_acc(
             if with_overflow:
                 return acc, overflow
             return acc
+    if shortrange == "columns":
+        from nbody.forces.p3m_columns import columns_stride_ok
+
+        _ck_probe = capacity
+        if _ck_probe is None:
+            from nbody.forces.p3m_columns import column_params
+
+            _ck_probe = column_params(box, nmesh, n)[3]
+        if not columns_stride_ok(box, float(r_cut), _ck_probe):
+            # a clustering whose healed column capacity outgrows even
+            # the columns kernel's (8, stride) VMEM blocks.  At such
+            # densities (~_STRIDE_MAX particles inside one r_cut
+            # column) the short-range pair work is ~stride^2 per
+            # column on ANY packing — the config needs a larger mesh
+            # (smaller r_cut), not a bigger bucket.  Fail loudly
+            # instead of compile-OOMing inside Mosaic.
+            raise ValueError(
+                f"column capacity {_ck_probe} exceeds the column "
+                f"kernels' VMEM stride budget — the state is too "
+                f"clustered for this mesh; increase mesh_size (shrinks "
+                f"r_cut) or use shortrange='cells'"
+            )
     if shortrange == "columns":
         from nbody.forces.p3m_columns import (
             column_params,

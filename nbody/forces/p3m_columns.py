@@ -190,7 +190,8 @@ def _plane_from_buf(buf, box: float, ncell: int, stride: int):
 
 
 def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
-                       col_capacity: int, window: int, chunk: int = 256):
+                       col_capacity: int, window: int, chunk: int = 256,
+                       skin: float = 0.0, with_plan: bool = False):
     """Sort particles into z-ordered (x, y)-column buckets and assemble
     the ghost-padded SoA plane plus the per-chunk window tables.
 
@@ -203,6 +204,15 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
     sentinel padding); ``ws`` holds each (i-column, neighbour, chunk)'s
     lane-aligned j-window start; ``gidx`` maps particles to their padded
     slot for the gather-back.
+
+    ``skin`` widens the window thresholds and ghost margins exactly as
+    :func:`freeze_column_plan` does (the extra sources beyond r_cut are
+    cut off by the kernel's weight function, so the immediate eval is
+    unchanged); with ``with_plan=True`` a :class:`ColumnPlan` is
+    appended to the return tuple — the boundary tick's FRESH fused
+    evaluation then emits the next step's interior plan from the SAME
+    sort instead of paying freeze_column_plan's separate argsort +
+    tables (round-4 rung-tier protocol).
 
     The (ncol, stride) buffer — interior AND both z-ghost bands — is
     assembled by ONE slot->source GATHER from the sorted particle rows
@@ -222,7 +232,7 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
     ncol = ncell * ncell
     P = ncell + 2
     P2 = P * P
-    zmargin = 1.0001 * r_cut
+    zmargin = 1.0001 * r_cut + 0.5 * skin
 
     posw = jnp.mod(pos, box).astype(dtype)
     massf = mass.astype(dtype)
@@ -290,8 +300,8 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
             jnp.mod(ic_x + dxo, ncell) * ncell + jnp.mod(ic_y + dyo, ncell)
         )  # (ncol,)
         zj = zcols[nc]  # (ncol, stride) ascending
-        qlo = (zmin - r_cut)[:, :, None]           # (ncol, maxch, 1)
-        qhi = (zmax + r_cut)[:, :, None]
+        qlo = (zmin - r_cut - skin)[:, :, None]    # (ncol, maxch, 1)
+        qhi = (zmax + r_cut + skin)[:, :, None]
         # start = first slot inside the band, aligned DOWN to 128 (the
         # kernel's lane alignment): slots before lo_exact all have
         # z < qlo, so the low side never misses.  EXACT per-slot count —
@@ -324,11 +334,113 @@ def build_column_plane(pos, mass, box: float, r_cut: float, ncell: int,
     pc = (cx + 1) * P + (cy + 1)
     gidx_s = jnp.where(ok, pc[order] * stride + gz + rank, P2 * stride)
     gidx = jnp.zeros((n,), jnp.int32).at[order].set(gidx_s.astype(jnp.int32))
-    return (plane, ws, nch.astype(jnp.int32), overflow_b, ov_w, gidx,
+    base = (plane, ws, nch.astype(jnp.int32), overflow_b, ov_w, gidx,
             jnp.minimum(counts, CK).astype(jnp.int32))
+    if not with_plan:
+        return base
+    ov = (
+        jnp.minimum(overflow_b, 32767) * 65536 + jnp.minimum(ov_w, 65535)
+    )
+    plan = ColumnPlan(
+        pos0=posw, src_g=order[src_c].astype(jnp.int32), starts=starts,
+        counts=counts, ws=ws, nch=nch.astype(jnp.int32), gidx=gidx, ov=ov,
+    )
+    return base + (plan,)
 
 
-def _column_kernel(ws_ref, nch_ref, i_ref, j_ref, out_ref, *, ncell,
+# Largest column stride (slots) the column kernels' scoped VMEM
+# affords: the i/j/out (8, stride) f32 blocks are capacity-
+# proportional (measured compile OOM at stride 37872 with 1024-lane
+# pair sub-slices: 16.58 MB scoped vs the 16 MB limit; 512-lane
+# sub-slices halve the ~11 MB of pair temporaries, affording ~49k).
+# Past it the CELLS tier's 3-D buckets carry the short range
+# (p3m_acc falls back).
+_STRIDE_MAX = 49152
+
+
+def columns_stride_ok(box: float, r_cut: float, col_capacity: int) -> bool:
+    """True when the column kernels compile at this capacity (clustered
+    states heal col_capacity far past the uniform sizing; the
+    (8, stride) VMEM blocks are the binding limit — `_STRIDE_MAX`)."""
+    CK = -(-int(col_capacity) // 128) * 128
+    gz = ghost_slots(CK, (float(r_cut) / box) * CK)
+    return CK + 2 * gz <= _STRIDE_MAX
+
+
+def _smem_table(t, ngroup: int, maxch: int):
+    """Pack a flat per-(group, chunk) int32 scalar table into
+    (ngroup * 8, cols) rows for an (8, cols)-blocked SMEM input
+    (cols = ceil(maxch / 8) padded to 128 — Pallas TPU block shapes
+    must be (8k, 128m)).  Entry k of group g lives at row
+    g * 8 + k // cols, lane k % cols.
+
+    This replaces scalar-prefetching the whole table: the prefetched
+    operand must fit SMEM (1 MB), and clustered states heal capacities
+    to maxch ~ 128 chunks/column, putting ncol x 9 x maxch words past
+    the limit (measured compile OOM, round-4 clustered bench row).  The
+    blocked form is O(1) in the healed capacity: one (8, cols) tile
+    per grid step."""
+    cols = ((maxch + 7) // 8 + 127) // 128 * 128
+    pad = jnp.zeros((ngroup, 8 * cols), jnp.int32)
+    pad = pad.at[:, :maxch].set(t.reshape(ngroup, maxch))
+    return pad.reshape(ngroup * 8, cols)
+
+
+def _smem_lookup(ref, k):
+    """Entry k of this group's (8, cols) SMEM block (see _smem_table)."""
+    cols = ref.shape[1]
+    return ref[k // cols, k % cols]
+
+
+_WMAX = 512  # lanes per pair sub-block: bounds the kernel's scoped
+# VMEM at (chunk x _WMAX) pair temporaries (~10-12 live values of
+# chunk x _WMAX f32 inside one sub-slice, measured from Mosaic's
+# scoped-vmem accounting) — clustered states can heal the z-window to
+# W ~ 20k lanes, and a single (chunk, W) block then needs ~60 MB of
+# scoped VMEM (measured OOM, round-4 clustered bench row) regardless
+# of tier; 2048 exceeded the 16 MB limit by 10% and 1024 left no room
+# for the capacity-proportional (8, stride) column blocks at
+# clustered-healed strides (~6 MB of temps at 512 affords strides to
+# `_STRIDE_MAX`).  The sub-slice loop is lane-count-neutral: the VPU
+# work is identical, only the fori_loop trip count grows.
+
+
+def _pair_accum(xi, yi, zi, j_ref, start, *, W, wfn, eps2, r_s, r_cut):
+    """(chunk,)-wise short-range force sums of one i chunk against the
+    j column's z-window [start, start + W), evaluated in <= _WMAX-lane
+    sub-slices.  For W <= _WMAX (every non-pathological config) this
+    emits exactly the single-block code the kernels always had."""
+
+    def one(joff, width):
+        j_blk = j_ref[:, pl.ds(joff, width)]
+        dx = j_blk[0][None, :] - xi
+        dy = j_blk[1][None, :] - yi
+        dz = j_blk[2][None, :] - zi
+        r2 = dx * dx + dy * dy + dz * dz
+        w = j_blk[3][None, :] * wfn(r2, eps2, r_s, r_cut)
+        return (
+            jnp.sum(w * dx, axis=1),
+            jnp.sum(w * dy, axis=1),
+            jnp.sum(w * dz, axis=1),
+        )
+
+    if W <= _WMAX:
+        return one(start, W)
+    nfull, rem = divmod(W, _WMAX)
+
+    def sub(t, acc):
+        a = one(start + t * _WMAX, _WMAX)
+        return (acc[0] + a[0], acc[1] + a[1], acc[2] + a[2])
+
+    zero = jnp.zeros(xi.shape[:1], xi.dtype)
+    acc = jax.lax.fori_loop(0, nfull, sub, (zero, zero, zero))
+    if rem:
+        a = one(start + nfull * _WMAX, rem)
+        acc = (acc[0] + a[0], acc[1] + a[1], acc[2] + a[2])
+    return acc
+
+
+def _column_kernel(nch_ref, ws_ref, i_ref, j_ref, out_ref, *, ncell,
                    stride, W, maxch, gz, chunk, eps2, r_s, r_cut, split,
                    softening):
     """One padded i-column vs one of its 9 (ox, oy) neighbour columns.
@@ -336,7 +448,9 @@ def _column_kernel(ws_ref, nch_ref, i_ref, j_ref, out_ref, *, ncell,
     i_ref/j_ref/out_ref: (8, stride) SoA columns (rows x, y, z, mass).
     The chunk loop runs only over the column's OCCUPIED 128-slot chunks
     (dynamic trip count from scalar prefetch) and each chunk reads only
-    its precomputed z-window of the j column."""
+    its precomputed z-window of the j column.  ws_ref is this (column,
+    neighbour)'s (8, cols) SMEM block of window starts (see
+    :func:`_smem_table` for why these are not scalar prefetch)."""
     ic = pl.program_id(0)
     o2 = pl.program_id(1)
 
@@ -348,24 +462,12 @@ def _column_kernel(ws_ref, nch_ref, i_ref, j_ref, out_ref, *, ncell,
     nch = nch_ref[ic]
 
     def body(k, carry):
-        start = pl.multiple_of(ws_ref[(ic * 9 + o2) * maxch + k], 128)
+        start = pl.multiple_of(_smem_lookup(ws_ref, k), 128)
         i_blk = i_ref[:, pl.ds(gz + k * chunk, chunk)]
-        j_blk = j_ref[:, pl.ds(start, W)]
-        xi = i_blk[0][:, None]
-        yi = i_blk[1][:, None]
-        zi = i_blk[2][:, None]
-        xj = j_blk[0][None, :]
-        yj = j_blk[1][None, :]
-        zj = j_blk[2][None, :]
-        mj = j_blk[3][None, :]
-        dx = xj - xi
-        dy = yj - yi
-        dz = zj - zi
-        r2 = dx * dx + dy * dy + dz * dz
-        w = mj * wfn(r2, eps2, r_s, r_cut)
-        ax = jnp.sum(w * dx, axis=1)
-        ay = jnp.sum(w * dy, axis=1)
-        az = jnp.sum(w * dz, axis=1)
+        ax, ay, az = _pair_accum(
+            i_blk[0][:, None], i_blk[1][:, None], i_blk[2][:, None],
+            j_ref, start, W=W, wfn=wfn, eps2=eps2, r_s=r_s, r_cut=r_cut,
+        )
         zero = jnp.zeros_like(ax)
         upd = jnp.stack([ax, ay, az, zero, zero, zero, zero, zero])
         sl = pl.ds(gz + k * chunk, chunk)
@@ -392,10 +494,14 @@ def _run_column_kernel(plane, ws, nch, *, ncell, stride, W, maxch, gz,
             + (ic % ncell + 1 + o2 % 3 - 1),
         )
 
+    ws_tab = _smem_table(ws, ncell * ncell * 9, maxch)
+    cols = ws_tab.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(ncell * ncell, 9),
         in_specs=[
+            pl.BlockSpec((8, cols), lambda ic, o2, *_: (ic * 9 + o2, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, stride), j_map, memory_space=pltpu.VMEM),
         ],
@@ -412,7 +518,7 @@ def _run_column_kernel(plane, ws, nch, *, ncell, stride, W, maxch, gz,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
         interpret=interpret,
-    )(ws, nch, plane, plane)
+    )(nch, ws_tab, plane, plane)
 
 
 @functools.partial(
@@ -740,16 +846,18 @@ def p3m_short_columns_frozen(
     return G * acc.astype(pos.dtype), plan.ov
 
 
-def _column_kernel_masked(ws_ref, nch_ref, cht_ref, i_ref, j_ref, out_ref,
+def _column_kernel_masked(nch_ref, ws_ref, cht_ref, i_ref, j_ref, out_ref,
                           *, ncell, stride, W, maxch, gz, chunk, eps2,
                           r_s, r_cut, split, softening):
     """:func:`_column_kernel` restricted to a column's ACTIVE chunks:
     the chunk loop's trip count is nch_ref (active chunks only) and the
-    k-th visited chunk's index comes from the prefetch table cht_ref —
+    k-th visited chunk's index comes from the chunk table cht_ref —
     kernel work scales with the number of 256-slot chunks containing an
     active target instead of the whole column.  Forces accumulate only
     at visited chunks; untouched slots stay 0 (their particles' kick
-    factors are 0 at masked ticks, so the zeros are never consumed)."""
+    factors are 0 at masked ticks, so the zeros are never consumed).
+    ws_ref/cht_ref are per-(column, neighbour) / per-column (8, cols)
+    SMEM blocks, not scalar prefetch (see :func:`_smem_table`)."""
     ic = pl.program_id(0)
     o2 = pl.program_id(1)
 
@@ -761,26 +869,14 @@ def _column_kernel_masked(ws_ref, nch_ref, cht_ref, i_ref, j_ref, out_ref,
     nch = nch_ref[ic]
 
     def body(k, carry):
-        kk = cht_ref[ic * maxch + k]
-        start = pl.multiple_of(ws_ref[(ic * 9 + o2) * maxch + kk], 128)
+        kk = _smem_lookup(cht_ref, k)
+        start = pl.multiple_of(_smem_lookup(ws_ref, kk), 128)
         sl = pl.ds(gz + kk * chunk, chunk)
         i_blk = i_ref[:, sl]
-        j_blk = j_ref[:, pl.ds(start, W)]
-        xi = i_blk[0][:, None]
-        yi = i_blk[1][:, None]
-        zi = i_blk[2][:, None]
-        xj = j_blk[0][None, :]
-        yj = j_blk[1][None, :]
-        zj = j_blk[2][None, :]
-        mj = j_blk[3][None, :]
-        dx = xj - xi
-        dy = yj - yi
-        dz = zj - zi
-        r2 = dx * dx + dy * dy + dz * dz
-        w = mj * wfn(r2, eps2, r_s, r_cut)
-        ax = jnp.sum(w * dx, axis=1)
-        ay = jnp.sum(w * dy, axis=1)
-        az = jnp.sum(w * dz, axis=1)
+        ax, ay, az = _pair_accum(
+            i_blk[0][:, None], i_blk[1][:, None], i_blk[2][:, None],
+            j_ref, start, W=W, wfn=wfn, eps2=eps2, r_s=r_s, r_cut=r_cut,
+        )
         zero = jnp.zeros_like(ax)
         upd = jnp.stack([ax, ay, az, zero, zero, zero, zero, zero])
         out_ref[:, sl] = out_ref[:, sl] + upd
@@ -884,10 +980,17 @@ def p3m_short_columns_frozen_masked(
             + (ic % ncell + 1 + o2 % 3 - 1),
         )
 
+    ws_tab = _smem_table(plan.ws, ncol * 9, maxch)
+    cht_tab = _smem_table(cht, ncol, maxch)
+    cols = ws_tab.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(ncol, 9),
         in_specs=[
+            pl.BlockSpec((8, cols), lambda ic, o2, *_: (ic * 9 + o2, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, cols), lambda ic, o2, *_: (ic, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, stride), j_map, memory_space=pltpu.VMEM),
         ],
@@ -904,7 +1007,7 @@ def p3m_short_columns_frozen_masked(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
         interpret=interpret,
-    )(plan.ws, nch_act, cht, plane, plane)
+    )(nch_act, ws_tab, cht_tab, plane, plane)
 
     acc_buckets = jnp.concatenate(
         [out[:3].reshape(3, P2 * stride).T, jnp.zeros((1, 3), dtype)],
@@ -1155,10 +1258,14 @@ def p3m_short_columns_local(pos_l, mass_l, *, box: float, eps: float,
             + (ic % ncell + 1 + o2 % 3 - 1),
         )
 
+    ws_tab = _smem_table(ws, nxl * ncell * 9, maxch)
+    cols = ws_tab.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(nxl * ncell, 9),
         in_specs=[
+            pl.BlockSpec((8, cols), lambda ic, o2, *_: (ic * 9 + o2, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, stride), j_map, memory_space=pltpu.VMEM),
         ],
@@ -1175,7 +1282,7 @@ def p3m_short_columns_local(pos_l, mass_l, *, box: float, eps: float,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
         interpret=interpret,
-    )(ws, nch, plane, plane)
+    )(nch, ws_tab, plane, plane)
 
     acc_buckets = jnp.concatenate(
         [out[:3].reshape(3, -1).T, jnp.zeros((1, 3), dtype)], axis=0

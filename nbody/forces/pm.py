@@ -45,14 +45,23 @@ def pm_potential_k(
     nmesh: int,
     deconvolve_p: int = 2,
     interlace: bool = False,
+    grid_shift: float = 0.0,
 ):
     """-delta_k / k^2 on the rfft grid (unit source strength), from CIC
     deposit of the particles.  delta is the mass overdensity; the DC mode
-    is zeroed (background subtraction — Jeans swindle)."""
+    is zeroed (background subtraction — Jeans swindle).  ``grid_shift``
+    (cells) offsets the deposit grid — 0.5 is CONCEPT's cell-centered
+    discretization (``cell_centered = True``; the default 0 is its
+    "vertex-diskretisering", `Different_Sizes/Giant.param:62`); the
+    force gather must read back with the same shift."""
     if interlace:
-        rho_k = cic_deposit_interlaced_k(pos, box, nmesh, weights=mass)
+        rho_k = cic_deposit_interlaced_k(
+            pos, box, nmesh, weights=mass, base_shift=grid_shift
+        )
     else:
-        rho_k = jnp.fft.rfftn(cic_deposit(pos, box, nmesh, weights=mass))
+        rho_k = jnp.fft.rfftn(
+            cic_deposit(pos, box, nmesh, weights=mass, shift=grid_shift)
+        )
     mean_mass_per_cell = jnp.sum(mass) / nmesh**3
     delta_k = rho_k / mean_mass_per_cell  # delta_k + N^3*delta(k); DC fixed below
 
@@ -304,7 +313,7 @@ def pm_force_grids_from_rho_pair(
     jax.jit,
     static_argnames=(
         "box", "nmesh", "deconvolve_p", "interlace", "longrange_split",
-        "grad_order", "spline_split",
+        "grad_order", "spline_split", "grid_shift",
     ),
 )
 def _pm_acc_impl(
@@ -318,6 +327,7 @@ def _pm_acc_impl(
     longrange_split: float,
     grad_order: str = "fd4",
     spline_split: float = 0.0,
+    grid_shift: float = 0.0,
 ):
     """acc_i = -grad phi(x_i) with lap phi = source_amp * delta.
 
@@ -331,6 +341,7 @@ def _pm_acc_impl(
         phi_k = pm_potential_k(
             pos, mass, box, nmesh,
             deconvolve_p=deconvolve_p, interlace=interlace,
+            grid_shift=grid_shift,
         )
         # pm_potential_k already divided by k^2; undo and apply the table
         kxs, kys, kzs = kvecs(nmesh, box, rfft=True, dtype=pos.dtype)
@@ -338,10 +349,11 @@ def _pm_acc_impl(
         filt = spline_longrange_filter(nmesh, box, spline_split, pos.dtype)
         phi_k = phi_k * source_amp * (k2 * filt)
         grids = _force_grids(phi_k, box, nmesh, grad_order, pos.dtype)
-        return cic_gather_vec(grids, pos, box)
+        return cic_gather_vec(grids, pos, box, shift=grid_shift)
 
     phi_k = pm_potential_k(
-        pos, mass, box, nmesh, deconvolve_p=deconvolve_p, interlace=interlace
+        pos, mass, box, nmesh, deconvolve_p=deconvolve_p,
+        interlace=interlace, grid_shift=grid_shift,
     )
     phi_k = phi_k * source_amp
     if longrange_split > 0.0:
@@ -353,7 +365,7 @@ def _pm_acc_impl(
     # CIC gather (the readback is gather-bound)
     grids = _force_grids(phi_k, box, nmesh, grad_order, pos.dtype)
     if not interlace:
-        return cic_gather_vec(grids, pos, box)
+        return cic_gather_vec(grids, pos, box, shift=grid_shift)
     # CONCEPT's two interlacing passes for FORCES: the combined
     # (alias-cancelled) potential is read back from BOTH the unshifted
     # and the half-cell-shifted grid (phase-aligned with e^{+i k.d/2}),
@@ -365,8 +377,8 @@ def _pm_acc_impl(
     ph = jnp.exp(1j * ((kxs + kys + kzs) * (d / 2.0)).astype(pos.dtype))
     grids1 = _force_grids(phi_k, box, nmesh, grad_order, pos.dtype, phase=ph)
     return 0.5 * (
-        cic_gather_vec(grids, pos, box)
-        + cic_gather_vec(grids1, pos, box, shift=0.5)
+        cic_gather_vec(grids, pos, box, shift=grid_shift)
+        + cic_gather_vec(grids1, pos, box, shift=grid_shift + 0.5)
     )
 
 
@@ -381,6 +393,7 @@ def pm_acc(
     longrange_split: float = 0.0,
     spline_split: float = 0.0,
     grad_order: str = "fd4",
+    cell_centered: bool = False,
 ):
     """Newtonian periodic PM acceleration.
 
@@ -391,12 +404,21 @@ def pm_acc(
     ``grad_order`` picks the k-space differentiation kernel (see
     :func:`gradient_kernel`) — CONCEPT's ``differentiation`` force option
     ('Fourier' = 'spectral', reference `TheFeedingPipeline/NN.param:58`).
+
+    ``cell_centered`` offsets the deposit/gather grid by half a cell —
+    CONCEPT's default discretization (its ``cell_centered = True``; the
+    reference's PM study sets ``False``, "vertex-diskretisering",
+    `Different_Sizes/Giant.param:62`, which is this solver's native
+    convention).  The two differ only at the grid-aliasing level (every
+    particle's sub-cell phase flips), which is exactly what the PM
+    growth-convention bracketing probes.
     """
     V = box**3
     amp = 4.0 * jnp.pi * G * jnp.sum(mass) / V
     return _pm_acc_impl(
         pos, mass, amp, box, nmesh, deconvolve_p, interlace, longrange_split,
         spline_split=spline_split, grad_order=grad_order,
+        grid_shift=0.5 if cell_centered else 0.0,
     )
 
 
@@ -439,17 +461,19 @@ def make_pm_cosmo_force(
     deconvolve_p: int = 2,
     interlace: bool = False,
     grad_order: str = "fd4",
+    cell_centered: bool = False,
 ):
     """Factory for the comoving canonical-momentum force
     g(pos, mass, a) = -grad phi, lap phi = (3/2) Omega_m H0^2 delta / a —
     plugs straight into nbody.integrate.run_cosmological."""
     base = 1.5 * cosmo.Omega_m * cosmo.H0**2
+    shift = 0.5 if cell_centered else 0.0
 
     def acc_fn(pos, mass, a):
         amp = base / jnp.asarray(a, pos.dtype)
         return _pm_acc_impl(
             pos, mass, amp, box, nmesh, deconvolve_p, interlace, 0.0,
-            grad_order=grad_order,
+            grad_order=grad_order, grid_shift=shift,
         )
 
     return acc_fn

@@ -243,7 +243,7 @@ def extract_column_subgrids(grids, ncell: int, S: int, ZP: int):
     return out.reshape(ncol * 256, nc * ZP)
 
 
-def _column_pm_kernel(ws_ref, nch_ref, i_ref, j_ref, s_ref, out_ref, *,
+def _column_pm_kernel(nch_ref, ws_ref, i_ref, j_ref, s_ref, out_ref, *,
                       ncell, stride, W, maxch, gz, chunk, eps2, r_s,
                       r_cut, split, softening, S, ZP, scale,
                       split_out=False, interlaced=False):
@@ -333,24 +333,14 @@ def _column_pm_kernel(ws_ref, nch_ref, i_ref, j_ref, s_ref, out_ref, *,
     wfn = _weight_fn(split, softening)
 
     def body(k, carry):
-        start = pl.multiple_of(ws_ref[(ic * 9 + o2) * maxch + k], 128)
+        from nbody.forces.p3m_columns import _pair_accum, _smem_lookup
+
+        start = pl.multiple_of(_smem_lookup(ws_ref, k), 128)
         i_blk = i_ref[:, pl.ds(gz + k * chunk, chunk)]
-        j_blk = j_ref[:, pl.ds(start, W)]
-        xi = i_blk[0][:, None]
-        yi = i_blk[1][:, None]
-        zi = i_blk[2][:, None]
-        xj = j_blk[0][None, :]
-        yj = j_blk[1][None, :]
-        zj = j_blk[2][None, :]
-        mj = j_blk[3][None, :]
-        dx = xj - xi
-        dy = yj - yi
-        dz = zj - zi
-        r2 = dx * dx + dy * dy + dz * dz
-        w = mj * wfn(r2, eps2, r_s, r_cut)
-        ax = jnp.sum(w * dx, axis=1)
-        ay = jnp.sum(w * dy, axis=1)
-        az = jnp.sum(w * dz, axis=1)
+        ax, ay, az = _pair_accum(
+            i_blk[0][:, None], i_blk[1][:, None], i_blk[2][:, None],
+            j_ref, start, W=W, wfn=wfn, eps2=eps2, r_s=r_s, r_cut=r_cut,
+        )
         zero = jnp.zeros_like(ax)
         upd = jnp.stack([ax, ay, az, zero, zero, zero, zero, zero])
         sl = pl.ds(gz + k * chunk, chunk)
@@ -391,10 +381,16 @@ def run_fused_column_plane(plane, ws, nch, subgrids, *, ncell: int,
             + (ic % ncell + 1 + o2 % 3 - 1),
         )
 
+    from nbody.forces.p3m_columns import _smem_table
+
+    ws_tab = _smem_table(ws, nx * ncell * 9, maxch)
+    cols = ws_tab.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(nx * ncell, 9),
         in_specs=[
+            pl.BlockSpec((8, cols), lambda ic, o2, *_: (ic * 9 + o2, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, stride), j_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((256, NC * ZP), lambda ic, o2, *_: (ic, 0),
@@ -412,7 +408,7 @@ def run_fused_column_plane(plane, ws, nch, subgrids, *, ncell: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
         interpret=interpret,
-    )(ws, nch, plane, plane, subgrids)
+    )(nch, ws_tab, plane, plane, subgrids)
 
 
 def supercell_params(box: float, nmesh: int, n: int):
@@ -435,12 +431,34 @@ def supercell_params(box: float, nmesh: int, n: int):
     )
 
 
+# Largest column stride (slots) the fused kernel's scoped VMEM affords:
+# the i/j/out (8, stride) f32 blocks cost ~192 B/slot buffered, so the
+# 16 MB scoped-VMEM budget runs out near stride ~7e4 (measured: compile
+# OOM at stride 82688, 16.64 MB scoped).  Kept with ~1.4x margin —
+# above it the columns tier (finer chaining grid, smaller strides for
+# the same clustering) carries the force instead.
+_STRIDE_MAX = 49152
+
+
+def supercell_stride_ok(box: float, r_cut: float, col_capacity: int) -> bool:
+    """True when the fused supercell kernel compiles at this capacity
+    (clustered states heal col_capacity far past the uniform sizing;
+    the capacity-proportional (8, stride) VMEM blocks are the binding
+    limit — see `_STRIDE_MAX`)."""
+    from nbody.forces.p3m_columns import ghost_slots
+
+    CK = -(-int(col_capacity) // 128) * 128
+    gz = ghost_slots(CK, (float(r_cut) / box) * CK)
+    return CK + 2 * gz <= _STRIDE_MAX
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "box", "nmesh", "G", "eps", "r_s", "r_cut", "deconvolve_p",
         "split", "softening", "ncell", "col_capacity", "window",
         "grad_order", "chunk", "part_split", "interlace", "interpret",
+        "skin", "with_plan",
     ),
 )
 def p3m_supercell_acc(
@@ -464,6 +482,8 @@ def p3m_supercell_acc(
     part_split: bool = False,
     interlace: bool = False,
     interpret: bool | None = None,
+    skin: float = 0.0,
+    with_plan: bool = False,
 ):
     """Full P3M force (PM far field + short-range correction) with ONE
     particle sort, an MXU deposit, and the PM readback fused into the
@@ -519,9 +539,12 @@ def p3m_supercell_acc(
     maxch = CK // chunk
     P2 = (ncell + 2) ** 2
 
-    plane, ws, nch, ov_b, ov_w, gidx, counts = build_column_plane(
-        pos, mass, box, float(r_cut), ncell, CK, W, chunk=chunk
+    built = build_column_plane(
+        pos, mass, box, float(r_cut), ncell, CK, W, chunk=chunk,
+        skin=float(skin), with_plan=with_plan,
     )
+    plane, ws, nch, ov_b, ov_w, gidx, counts = built[:7]
+    plan = built[7] if with_plan else None
     rho = supercell_deposit_from_plane(
         plane, counts, box=box, nmesh=nmesh, ncell=ncell, stride=stride,
         gz=gz, chunk=chunk, interpret=interpret,
@@ -565,12 +588,16 @@ def p3m_supercell_acc(
         both = buckets6[gidx]
         acc_short = G * both[:, 0:3].astype(pos.dtype)
         acc_long = G * both[:, 3:6].astype(pos.dtype)
+        if with_plan:
+            return acc_long, acc_short, ov, plan
         return acc_long, acc_short, ov
     acc_buckets = jnp.concatenate(
         [out[:3].reshape(3, P2 * stride).T, jnp.zeros((1, 3), dtype)],
         axis=0,
     )
     acc = acc_buckets[gidx]
+    if with_plan:
+        return G * acc.astype(pos.dtype), ov, plan
     return G * acc.astype(pos.dtype), ov
 
 

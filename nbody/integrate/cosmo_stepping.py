@@ -616,12 +616,12 @@ def run_cosmological_rungs(
     ``acc_long_fn(pos, mass, a) -> g``; ``acc_short_fn`` returns
     (g, overflow).  Returns (final_state, max_boundary_overflow:int32,
     max_masked_source_overflow:int32, max_target_overflow:int32,
-    max_target_occupancy:int32, rung_hists (n_steps, n_rungs)) — the
-    three overflow channels map to three distinct capacity knobs
-    (boundary-tier bucket / masked source plane / active-target plane)
-    so the driver self-heals the right one, and the target occupancy
-    lets it pre-warm the next segment instead of paying an in-scan
-    overflow.
+    max_target_occupancy:int32, max_plan_stale:int32,
+    rung_hists (n_steps, n_rungs)) — the overflow channels map to
+    distinct capacity knobs (boundary-tier bucket / masked source
+    plane / active-target plane / frozen-plan skin) so the driver
+    self-heals the right one, and the target occupancy lets it
+    pre-warm the next segment instead of paying an in-scan overflow.
     """
     a_grid = np.asarray(a_grid, dtype=np.float64)
     n_steps = len(a_grid) - 1
@@ -700,6 +700,10 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
         masked_frozen_fn = (
             frozen_both_fns[3] if len(frozen_both_fns) > 3 else None
         )
+        stale_fn = frozen_both_fns[4] if len(frozen_both_fns) > 4 else None
+        fresh_plan_fn = (
+            frozen_both_fns[5] if len(frozen_both_fns) > 5 else None
+        )
 
     p = st.vel + gl * kl1                      # long opening half-kick
     p = p + gs * Fk[0][rung][:, None]          # tick-0 short kicks
@@ -708,6 +712,7 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
     ov_s = jnp.int32(0)
     ov_t = jnp.int32(0)
     occ_t = jnp.int32(0)
+    ov_stale = jnp.int32(0)
     gs_new = gs
     for j in range(1, n_sub + 1):
         pos = jnp.mod(pos + p * Dr[j - 1], box)
@@ -718,33 +723,36 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
             # interior ticks would pay plane-build + kernel for
             # nothing; lax.cond branches at run time on device)
             if frozen_both_fns is not None and masked_frozen_fn is not None:
-                # interior masked tick on the carried frozen plan —
-                # active-chunk tables instead of two plane builds; the
-                # drift check refreezes mid-step when needed (demand is
-                # then bounded by the refrozen plan's overflow word)
-                def _masked(pos=pos, act=act, j=j, plan_=None):
-                    plan2 = jax.lax.cond(
-                        drift_ok_fn(pos, plan_),
-                        lambda pl_: pl_,
-                        lambda pl_: freeze_fn(pos, st.mass),
-                        plan_,
+                # interior masked tick on the carried frozen plan,
+                # UNCONDITIONAL: the plan was (re)frozen at a boundary
+                # with a skin sized for a whole step's drift
+                # (_frozen_geometry's rung sizing), so interior ticks
+                # never pay the refreeze argsort — on-demand mid-step
+                # refreezes measured ~3 x 104 ms/step on clustered hot
+                # tails (0.31 s of the 0.67 s step, round-4 scan
+                # ablation).  Drift beyond skin/2 raises the LOUD
+                # staleness channel (ov_t) the driver heals by growing
+                # column_skin / shrinking the step — never a silent
+                # accuracy loss.
+                def _masked(pos=pos, act=act, j=j):
+                    return masked_frozen_fn(
+                        pos, st.mass, act, A_sub[j - 1], plan
                     )
-                    g, o = masked_frozen_fn(
-                        pos, st.mass, act, A_sub[j - 1], plan2
-                    )
-                    return g, o, plan2
 
-                g, o, plan = jax.lax.cond(
+                g, o = jax.lax.cond(
                     jnp.any(act),
-                    lambda pl_, pos=pos, act=act, j=j: _masked(
-                        pos=pos, act=act, j=j, plan_=pl_
-                    ),
-                    lambda pl_: (
-                        jnp.zeros_like(st.pos), jnp.int32(0), pl_,
-                    ),
-                    plan,
+                    _masked,
+                    lambda: (jnp.zeros_like(st.pos), jnp.int32(0)),
                 )
                 ov_b = jnp.maximum(ov_b, o)
+                if stale_fn is not None:
+                    ov_stale = jnp.maximum(
+                        ov_stale,
+                        jnp.where(
+                            jnp.any(act), stale_fn(pos, plan),
+                            jnp.int32(0),
+                        ),
+                    )
             else:
                 g, o, ot, oc = jax.lax.cond(
                     jnp.any(act),
@@ -767,8 +775,28 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
             # positions — acc_both_fn (p3m_acc part='split') serves both
             # from one fused plane build/deposit when available, and
             # frozen_both_fns additionally skips the plane build's
-            # argsort while drift stays inside the plan's skin
-            if frozen_both_fns is not None:
+            # argsort while drift stays inside the plan's skin.  This
+            # is the ONLY refreeze site: the driver's drift predicate
+            # keeps a HALF-skin margin here so the plan it hands the
+            # NEXT step's interior ticks still has a half budget left
+            # (hot tails refreeze every boundary — one argsort/step;
+            # cold states keep a plan for many steps).
+            if frozen_both_fns is not None and fresh_plan_fn is not None:
+                # refreeze fused into the fresh evaluation: one sort
+                # serves the eval AND the next step's interior plan
+                def _keep(pl_, pos=pos, j=j):
+                    g_, gl_, o_ = both_frozen_fn(
+                        pos, st.mass, A_sub[j - 1], a1, pl_
+                    )
+                    return g_, gl_, o_, pl_
+
+                def _fresh(pl_, pos=pos, j=j):
+                    return fresh_plan_fn(pos, st.mass, A_sub[j - 1], a1)
+
+                g, gl_new, o, plan = jax.lax.cond(
+                    drift_ok_fn(pos, plan), _keep, _fresh, plan
+                )
+            elif frozen_both_fns is not None:
                 plan = jax.lax.cond(
                     drift_ok_fn(pos, plan),
                     lambda pl_: pl_,
@@ -793,7 +821,7 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
         gl_new = acc_long_fn(pos, st.mass, a1)
     p = p + gl_new * kl2
     st = st.replace(pos=pos, vel=p, time=a1)
-    return st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t, plan
+    return st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t, ov_stale, plan
 
 
 @functools.partial(
@@ -809,17 +837,31 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
                     frozen_both_fns=None):
     H0, Om, OL = float(cosmo.H0), float(cosmo.Omega_m), float(cosmo.Omega_L)
 
-    if acc_both_fn is not None:
-        gs0, gl0, ov0 = acc_both_fn(
+    if frozen_both_fns is not None and len(frozen_both_fns) > 5:
+        # fresh fused eval with plan emit: one sort for the initial
+        # forces AND the first step's interior plan
+        gs0, gl0, ov0, plan0 = frozen_both_fns[5](
             state.pos, state.mass, state.time, state.time
         )
     else:
-        gl0 = acc_long_fn(state.pos, state.mass, state.time)
-        gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
-    if frozen_both_fns is not None:
-        plan0 = frozen_both_fns[0](state.pos, state.mass)
-    else:
-        plan0 = jnp.int32(0)  # placeholder carry leaf
+        if frozen_both_fns is not None and len(frozen_both_fns) > 5:
+            # fresh fused eval with plan emit: one sort for the initial
+            # forces AND the first step's interior plan
+            gs0, gl0, ov0, plan0 = frozen_both_fns[5](
+                state.pos, state.mass, state.time, state.time
+            )
+        else:
+            if acc_both_fn is not None:
+                gs0, gl0, ov0 = acc_both_fn(
+                    state.pos, state.mass, state.time, state.time
+                )
+            else:
+                gl0 = acc_long_fn(state.pos, state.mass, state.time)
+                gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
+            if frozen_both_fns is not None:
+                plan0 = frozen_both_fns[0](state.pos, state.mass)
+            else:
+                plan0 = jnp.int32(0)  # placeholder carry leaf
 
     def body(carry, x):
         st, gl, gs, ov, plan = carry
@@ -830,7 +872,7 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
         rung = _assign_rungs(dla_i, jnp.log(a1) - jnp.log(a0), n_rungs)
         hist = jnp.bincount(rung, length=n_rungs).astype(jnp.int32)
 
-        st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t, plan = (
+        st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t, ov_st, plan = (
             _rung_block_step(
                 st, gl, gs, rung, x, box, n_rungs,
                 acc_long_fn, acc_short_fn, acc_short_masked_fn,
@@ -838,7 +880,7 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
                 frozen_both_fns=frozen_both_fns, plan=plan,
             )
         )
-        ovb, ovm, ovt, occt = ov
+        ovb, ovm, ovt, occt, ovst = ov
         return (
             st, gl_new, gs_new,
             (
@@ -846,17 +888,19 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
                 jnp.maximum(ovm, ov_s),
                 jnp.maximum(ovt, ov_t),
                 jnp.maximum(occt, occ_t),
+                jnp.maximum(ovst, ov_st),
             ),
             plan,
         ), hist
 
-    (final, _, _, (ovb, ovm, ovt, occt), _), hists = jax.lax.scan(
+    (final, _, _, (ovb, ovm, ovt, occt, ovst), _), hists = jax.lax.scan(
         body,
         (state, gl0, gs0,
-         (ov0, jnp.int32(0), jnp.int32(0), jnp.int32(0)), plan0),
+         (ov0, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+         plan0),
         xs,
     )
-    return final, ovb, ovm, ovt, occt, hists
+    return final, ovb, ovm, ovt, occt, ovst, hists
 
 
 def _gl_int(f, lo, hi, dtype):
@@ -949,7 +993,7 @@ def make_adaptive_rung_runner(
     ``max_steps`` bounds one dispatch (TPU relay limit) — call
     repeatedly until arrival.  Returns run(state, a_end) ->
     (state, n_steps, overflow_boundary, overflow_masked_source,
-    overflow_target, occupancy_target, dla_last,
+    overflow_target, occupancy_target, plan_stale, dla_last,
     rung_hist (n_rungs,)) — overflow channels as
     :func:`run_cosmological_rungs`."""
     H0, Om, OL = float(cosmo.H0), float(cosmo.Omega_m), float(cosmo.Omega_L)
@@ -965,17 +1009,24 @@ def make_adaptive_rung_runner(
         etad = jnp.asarray(eta_disp, dtype)
         etaa = jnp.asarray(eta_acc_eps2, dtype)
 
-        if acc_both_fn is not None:
-            gs0, gl0, ov0 = acc_both_fn(
+        if frozen_both_fns is not None and len(frozen_both_fns) > 5:
+            # fresh fused eval with plan emit: one sort for the initial
+            # forces AND the first step's interior plan
+            gs0, gl0, ov0, plan0 = frozen_both_fns[5](
                 state.pos, state.mass, state.time, state.time
             )
         else:
-            gl0 = acc_long_fn(state.pos, state.mass, state.time)
-            gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
-        if frozen_both_fns is not None:
-            plan0 = frozen_both_fns[0](state.pos, state.mass)
-        else:
-            plan0 = jnp.int32(0)  # placeholder carry leaf
+            if acc_both_fn is not None:
+                gs0, gl0, ov0 = acc_both_fn(
+                    state.pos, state.mass, state.time, state.time
+                )
+            else:
+                gl0 = acc_long_fn(state.pos, state.mass, state.time)
+                gs0, ov0 = acc_short_fn(state.pos, state.mass, state.time)
+            if frozen_both_fns is not None:
+                plan0 = frozen_both_fns[0](state.pos, state.mass)
+            else:
+                plan0 = jnp.int32(0)  # placeholder carry leaf
         hist0 = jnp.zeros((n_rungs,), jnp.int32)
 
         def cond(carry):
@@ -983,7 +1034,7 @@ def make_adaptive_rung_runner(
             return jnp.logical_and(st.time < a_end_, n < max_steps)
 
         def body(carry):
-            st, gl, gs, ov4, _dla, _hist, n, plan = carry
+            st, gl, gs, ov5, _dla, _hist, n, plan = carry
             a0 = st.time
             dla_i = _rung_demand(st.vel, gl, gs, a0, celld, etad, etaa,
                                  H0, Om, OL)
@@ -999,7 +1050,7 @@ def make_adaptive_rung_runner(
             )
             rung = _assign_rungs(dla_i, dla, n_rungs)
             hist = jnp.bincount(rung, length=n_rungs).astype(jnp.int32)
-            st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t, plan = (
+            st, gl_new, gs_new, ov_b, ov_s, ov_t, occ_t, ov_st, plan = (
                 _rung_block_step(
                     st, gl, gs, rung, (a0, a1, kl1, kl2, Fk, Dr, A_sub),
                     boxd, n_rungs,
@@ -1008,7 +1059,7 @@ def make_adaptive_rung_runner(
                     frozen_both_fns=frozen_both_fns, plan=plan,
                 )
             )
-            ovb, ovm, ovt, occt = ov4
+            ovb, ovm, ovt, occt, ovst = ov5
             return (
                 st, gl_new, gs_new,
                 (
@@ -1016,18 +1067,19 @@ def make_adaptive_rung_runner(
                     jnp.maximum(ovm, ov_s),
                     jnp.maximum(ovt, ov_t),
                     jnp.maximum(occt, occ_t),
+                    jnp.maximum(ovst, ov_st),
                 ),
                 dla, hist, n + 1, plan,
             )
 
         init = (
             state, gl0, gs0,
-            (ov0, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            (ov0, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
             jnp.asarray(dla_max, dtype), hist0, jnp.int32(0), plan0,
         )
-        (st, _, _, (ovb, ovm, ovt, occt), dla, hist, n, _) = (
+        (st, _, _, (ovb, ovm, ovt, occt, ovst), dla, hist, n, _) = (
             jax.lax.while_loop(cond, body, init)
         )
-        return st, n, ovb, ovm, ovt, occt, dla, hist
+        return st, n, ovb, ovm, ovt, occt, ovst, dla, hist
 
     return run

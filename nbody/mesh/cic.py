@@ -273,16 +273,21 @@ def deconvolve(delta_k, nmesh: int, box: float, p: int = 2):
 
 
 @functools.partial(jax.jit, static_argnames=("nmesh",))
-def cic_deposit_interlaced_k(pos, box, nmesh: int, weights=None):
+def cic_deposit_interlaced_k(pos, box, nmesh: int, weights=None,
+                             base_shift: float = 0.0):
     """Interlaced CIC deposit, returned in k-space (rfft layout).
 
     Two grids offset by half a cell are combined in Fourier space with the
     phase factor exp(i (kx+ky+kz) d/2), cancelling the leading aliasing
     images — the "second interlacing pass" CONCEPT logs during its
-    powerspec measurements (SURVEY.md §2.2).
+    powerspec measurements (SURVEY.md §2.2).  ``base_shift`` offsets BOTH
+    grids (CONCEPT's cell-centered discretization, ``cell_centered =
+    True`` — the alias-cancel phase between the passes is unchanged; the
+    force readback must gather with the same base shift).
     """
-    g0 = cic_deposit(pos, box, nmesh, weights=weights, shift=0.0)
-    g1 = cic_deposit(pos, box, nmesh, weights=weights, shift=0.5)
+    g0 = cic_deposit(pos, box, nmesh, weights=weights, shift=base_shift)
+    g1 = cic_deposit(pos, box, nmesh, weights=weights,
+                     shift=base_shift + 0.5)
     k0 = jnp.fft.rfftn(g0)
     k1 = jnp.fft.rfftn(g1)
     d = box / nmesh

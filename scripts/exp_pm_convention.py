@@ -10,7 +10,16 @@ measured round 3 (this script, one seed, 64^3 / 500 Mpc / 142 steps):
   mesh 128, fd4,      no interlace -> growth 1.213   (alias self-force)
   mesh  64, fd4,      no interlace -> growth 1.033
   mesh  64, spectral, interlace    -> growth 1.016
-  mesh 128 variants with interlacing: run me.
+
+Round 4 adds the two previously unmapped CONCEPT options the
+reference's own configs set (VERDICT round-3 missing #1):
+`deconvolve: (True, True)` -> deconvolve_p=4 (both passes,
+`Giant.param:53-58`) and `cell_centered` — the latter measured EXACTLY
+neutral under interlacing (tests/test_pm.py::
+test_cell_centered_shift_identity: the cell-centered interlaced grid
+pair {0.5, 1.0} is a lattice shift of the vertex pair {0, 0.5}), so
+the bracket closes on deconvolve_p x mesh x gradient with interlacing
+on throughout (Giant.param interlaces both passes).
 
 Usage: python scripts/exp_pm_convention.py
 """
@@ -41,9 +50,24 @@ def main():
         output=OutputConfig(powerspec=False, snapshot=False),
     )
     variants = {
-        "m128_fd4_il": base.replace(pm_grid=128, interlace=True),
-        "m128_spec_il": base.replace(pm_grid=128, interlace=True,
-                                     pm_gradient="spectral"),
+        "m64_fd4_il_p4": base.replace(
+            pm_grid=64, interlace=True, deconvolve_p=4
+        ),
+        "m64_spec_il_p4": base.replace(
+            pm_grid=64, interlace=True, deconvolve_p=4,
+            pm_gradient="spectral",
+        ),
+        "m128_fd4_il_p4": base.replace(
+            pm_grid=128, interlace=True, deconvolve_p=4
+        ),
+        "m128_spec_il_p4": base.replace(
+            pm_grid=128, interlace=True, deconvolve_p=4,
+            pm_gradient="spectral",
+        ),
+        "m64_spec_il_p2": base.replace(
+            pm_grid=64, interlace=True, pm_gradient="spectral",
+            deconvolve_p=2,
+        ),
     }
     for name, cfg in variants.items():
         t0 = time.time()

@@ -126,8 +126,13 @@ def main():
         "ours": {
             "growth_ratio_mean": float(gr.mean()),
             "growth_ratio_std": float(gr.std()),
+            "growth_ratio_sem": float(gr.std() / np.sqrt(len(gr))),
             "Pk_ratio_mean": float(pr.mean()),
             "Pk_ratio_std": float(pr.std()),
+            # sem distinguishes BIAS from SCATTER (round-3 VERDICT item
+            # 4: the 5-seed P(k) mean sat ~2 sigma low, unadjudicated)
+            "Pk_ratio_sem": float(pr.std() / np.sqrt(len(pr))),
+            "n_seeds": len(rows),
         },
         "seeds": rows,
         "config": {"n_side": 64, "box": 500.0, "solver": "p3m",

@@ -124,7 +124,7 @@ def steps_mode(n_steps: int = 4, subcycles: int = 4, fused: bool = True):
 
 def rungs_mode(n_steps: int = 4, n_rungs: int = 3, frac_hot: float = 0.05,
                fused: bool = True, frozen: bool = True,
-               clustered: bool = False):
+               clustered: bool = False, ablate: str = ""):
     """Per-particle-rung KDK steps/sec at N = 2^20 (VERDICT round-3 item
     1): times the rung tier — the one that wins the parity wall — at
     bench scale.  ``frac_hot`` sets the synthetic velocity tail so
@@ -167,7 +167,12 @@ def rungs_mode(n_steps: int = 4, n_rungs: int = 3, frac_hot: float = 0.05,
     cell = box / nmesh
     p_thr = cfg.step_eta_disp * cell * a0**2 * H / dla_step
     speeds = np.abs(rng.lognormal(mean=0.0, sigma=1.0, size=n))
-    speeds *= p_thr / np.quantile(speeds, 1.0 - frac_hot)
+    if frac_hot > 0:
+        speeds *= p_thr / np.quantile(speeds, 1.0 - frac_hot)
+    else:
+        # every particle on rung 0: interior masked ticks skip via
+        # lax.cond — isolates boundary tick + integrator overhead
+        speeds *= 0.01 * p_thr / speeds.max()
     dirs = rng.normal(size=(n, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     vel = jnp.asarray(speeds[:, None] * dirs, jnp.float32)
@@ -191,7 +196,28 @@ def rungs_mode(n_steps: int = 4, n_rungs: int = 3, frac_hot: float = 0.05,
     if frozen:
         from nbody.driver.simulate import build_cosmo_force_frozen_both
 
-        kw["frozen_both_fns"] = build_cosmo_force_frozen_both(cfg)
+        fbf = build_cosmo_force_frozen_both(cfg)
+        if ablate and fbf is not None:
+            # measurement-only stubs to decompose the IN-SCAN step
+            # budget (isolated-jit walls overlap inside the scan):
+            #   nodrift  — drift check pinned True (no mid-step
+            #              refreeze, physics stale but load identical)
+            #   notick   — interior masked ticks return zero force
+            #              (everything but the masked kernel+assembly)
+            #   nodrift+notick etc. compose with '+'
+            freeze_fn, both_fz, drift_ok, masked_fz = fbf[:4]
+            rest = fbf[4:]
+            parts = set(ablate.split("+"))
+            if "nodrift" in parts:
+                drift_ok = lambda pos, plan: jnp.bool_(True)  # noqa: E731
+            if "notick" in parts:
+                masked_fz = (  # noqa: E731
+                    lambda pos, mass_, act, a_, plan: (
+                        jnp.zeros_like(pos), jnp.int32(0),
+                    )
+                )
+            fbf = (freeze_fn, both_fz, drift_ok, masked_fz) + rest
+        kw["frozen_both_fns"] = fbf
 
     def run(st):
         return run_cosmological_rungs(
@@ -221,6 +247,7 @@ def rungs_mode(n_steps: int = 4, n_rungs: int = 3, frac_hot: float = 0.05,
             + (" (fused boundary tick)" if fused else "")
             + (" (frozen plans)" if frozen else "")
             + (" (clustered hot tail)" if clustered else "")
+            + (f" (ABLATED: {ablate})" if ablate else "")
         ),
         "steps_per_s": round(sps, 3),
         "s_per_step": round(min(ts) / n_steps, 3),
@@ -302,10 +329,14 @@ def main():
 
 if __name__ == "__main__":
     if "--rungs" in sys.argv:
+        ab = [a.split("=", 1)[1] for a in sys.argv
+              if a.startswith("--ablate=")]
         rungs_mode(
             fused="--unfused" not in sys.argv,
             frozen="--no-frozen" not in sys.argv,
             clustered="--clustered" in sys.argv,
+            frac_hot=0.0 if "--cold" in sys.argv else 0.05,
+            ablate=ab[0] if ab else "",
         )
     elif "--steps" in sys.argv:
         steps_mode(fused="--unfused" not in sys.argv)

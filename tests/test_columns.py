@@ -274,3 +274,34 @@ class TestFrozenPlan:
         scale = float(jnp.abs(f0.vel).max())
         assert float(jnp.abs(f1.pos - f0.pos).max()) < 1e-3
         assert float(jnp.abs(f1.vel - f0.vel).max()) / scale < 1e-4
+
+
+def test_wide_window_subsliced_matches_oracle(monkeypatch):
+    """Windows wider than _WMAX lanes run as sub-sliced pair blocks
+    (bounded scoped VMEM — clustered states can heal W to ~20k lanes,
+    which OOMs as one (chunk, W) block; measured, round-4 clustered
+    bench row).  Shrinking _WMAX makes an ordinary config take the
+    sub-sliced path, including the non-multiple remainder slice; eps
+    differs from the other tests so the jit cache cannot serve a
+    pre-monkeypatch executable."""
+    import nbody.forces.p3m_columns as pc
+
+    n, box, nmesh = 4000, 100.0, 32
+    r_s, r_cut, ncell, CK, W = column_params(box, nmesh, n)
+    W = max(-(-W // 128) * 128, 3 * 128)
+    if W % 256 == 0:
+        W += 128  # force a remainder sub-slice
+    monkeypatch.setattr(pc, "_WMAX", 256)
+    pos, mass = _uniform(n, box, seed=3)
+    ref = p3m_short_direct(pos, mass, box, 0.11, r_s, r_cut,
+                           split="spline", softening="spline")
+    acc, ov = p3m_short_columns_pallas(
+        pos, mass, box, 0.11, r_s, r_cut,
+        ncell=ncell, col_capacity=CK, window=W, split="spline",
+        softening="spline",
+    )
+    assert int(ov) == 0
+    rel = np.linalg.norm(
+        np.asarray(acc, np.float64) - np.asarray(ref), axis=1
+    ) / np.maximum(np.linalg.norm(np.asarray(ref), axis=1), 1e-10)
+    assert rel.max() < 1e-4 and np.median(rel) < 1e-5

@@ -106,7 +106,7 @@ def test_single_rung_matches_subcycled():
     a_grid = log_a_steps(0.5, 0.6, 4)
     long_fn, short_fn, short_masked_fn = _force_fns(box, nmesh)
 
-    final, ov, ovm, ovt, occt, hists = run_cosmological_rungs(
+    final, ov, ovm, ovt, occt, ovst, hists = run_cosmological_rungs(
         state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
         box, n_rungs=2, cell=box / nmesh, eta_disp=1e-9,
     )
@@ -134,7 +134,7 @@ def test_all_slow_matches_plain_kdk():
     a_grid = log_a_steps(0.5, 0.55, 3)
     long_fn, short_fn, short_masked_fn = _force_fns(box, nmesh)
 
-    final, ov, ovm, ovt, occt, hists = run_cosmological_rungs(
+    final, ov, ovm, ovt, occt, ovst, hists = run_cosmological_rungs(
         state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
         box, n_rungs=2, cell=box / nmesh, eta_disp=1e9,
     )
@@ -159,7 +159,7 @@ def test_mixed_rungs_stay_close_to_uniform_subcycling():
     a_grid = log_a_steps(0.5, 0.6, 8)
     long_fn, short_fn, short_masked_fn = _force_fns(box, nmesh)
 
-    final, ov, ovm, ovt, occt, hists = run_cosmological_rungs(
+    final, ov, ovm, ovt, occt, ovst, hists = run_cosmological_rungs(
         state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
         box, n_rungs=3, cell=box / nmesh, eta_disp=0.25,
     )
@@ -237,7 +237,7 @@ def test_adaptive_rung_runner_matches_fixed_grid_when_demand_slack():
     a_end = float(np.exp(np.log(a0) + n_steps * dla_max))
     a_grid = log_a_steps(a0, a_end, n_steps)
 
-    final_f, ov, ovm, ovt, occt, hists = run_cosmological_rungs(
+    final_f, ov, ovm, ovt, occt, ovst, hists = run_cosmological_rungs(
         state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
         box, n_rungs=3, cell=box / nmesh, eta_disp=1e9,
     )
@@ -246,7 +246,7 @@ def test_adaptive_rung_runner_matches_fixed_grid_when_demand_slack():
         dla_max=dla_max, eta_disp=1e9, eta_acc=0.0, eps=0.0,
         max_steps=16, n_rungs=3,
     )
-    final_a, n, ova, ovma, ovta, occta, dla, hist = run(state, a_end)
+    final_a, n, ova, ovma, ovta, occta, ovsta, dla, hist = run(state, a_end)
 
     # arrival at a_end is exact up to one trailing ulp micro-step
     assert n_steps <= int(n) <= n_steps + 1
@@ -292,7 +292,7 @@ def test_adaptive_rung_runner_mixed_rungs_sane():
         dla_max=0.03, eta_disp=0.25, eta_acc=0.0, eps=0.0,
         max_steps=64, n_rungs=3,
     )
-    final, n_r, ov, ovm, ovt, occt, dla, hist = run_r(state, a_end)
+    final, n_r, ov, ovm, ovt, occt, ovst, dla, hist = run_r(state, a_end)
     assert bool(jnp.all(jnp.isfinite(final.pos)))
     assert float(final.time) == pytest.approx(a_end, rel=1e-6)
     h = np.asarray(hist)

@@ -130,6 +130,43 @@ def test_resolved_shortrange_auto_picks_supercell():
     assert _resolved_shortrange(small) == "allpairs"
 
 
+def test_stride_guard_resolves_supercell_to_columns():
+    """Clustered-healed capacities whose stride would OOM the fused
+    kernel's scoped VMEM resolve to the columns tier instead (measured
+    compile OOM at stride 82688 — round-4 clustered bench row), in both
+    the driver mirror and the pure guard helpers."""
+    from nbody.driver.config import SimulationConfig
+    from nbody.driver.simulate import _resolved_shortrange
+    from nbody.forces.p3m_columns import columns_stride_ok
+    from nbody.forces.pm_supercell import supercell_stride_ok
+
+    big = SimulationConfig(n_side=48, box=500.0, solver="p3m", pm_grid=128)
+    assert _resolved_shortrange(big) == "supercell"
+    healed = big.replace(column_capacity=65536)
+    assert _resolved_shortrange(healed) == "columns"
+    # the pure guards: fine at production capacities, trip past the
+    # measured budget
+    assert supercell_stride_ok(500.0, 18.0, 1280)
+    assert not supercell_stride_ok(500.0, 18.0, 65536)
+    assert columns_stride_ok(500.0, 18.0, 20480)
+    assert not columns_stride_ok(500.0, 18.0, 65536)
+
+
+def test_columns_stride_budget_raises_loudly():
+    """Past even the columns stride budget the force API fails with an
+    actionable error instead of a Mosaic scoped-VMEM compile OOM."""
+    import pytest
+
+    from nbody.forces.p3m import p3m_acc
+
+    pos = jnp.asarray(np.random.default_rng(0).uniform(0, 500.0, (512, 3)),
+                      jnp.float32)
+    mass = jnp.ones((512,), jnp.float32)
+    with pytest.raises(ValueError, match="too clustered"):
+        p3m_acc(pos, mass, 500.0, 128, shortrange="columns",
+                capacity=131072)
+
+
 def test_driver_runs_supercell_tier(tmp_path):
     """run_simulation(shortrange='supercell') integrates end to end with
     the driver's column-geometry capacity bookkeeping."""
@@ -291,7 +328,7 @@ class TestFusedBoundaryTick:
             *args, eta_disp=0.05, acc_both_fn=both_fn
         )
         np.testing.assert_array_equal(
-            np.asarray(ref[5]), np.asarray(got[5])
+            np.asarray(ref[6]), np.asarray(got[6])
         )  # identical rung populations
         np.testing.assert_allclose(
             np.asarray(got[0].pos), np.asarray(ref[0].pos), rtol=0,
@@ -524,7 +561,7 @@ class TestFrozenBoundaryTick:
             frozen_both_fns=fns["frozen_both"],
         )
         np.testing.assert_array_equal(
-            np.asarray(ref[5]), np.asarray(got[5])
+            np.asarray(ref[6]), np.asarray(got[6])
         )  # identical rung populations
         assert int(got[1]) == 0
         np.testing.assert_allclose(
