@@ -163,6 +163,12 @@ class SimulationConfig:
     # ~95% rung-0 population stops paying for the halo particles'
     # fine kicks.  Overrides `subcycles` (the uniform-cadence tier).
     # run.log gains per-step "Rung population" lines.
+    rung_active_capacity: int = 0  # compact active-row capacity of the
+    # frozen-plan rung tier's interior kicks (0 = disabled, the
+    # default: the compact slot-table readback + scatter-add kicks are
+    # bit-exact but measured SLOWER at N=2^20 — TPU scatter-add beats
+    # the full-N gather it replaces); truncation is loud (ov_t) and
+    # the driver doubles it
     rung_capacity: int = 0  # bucket capacity of the active-target plane;
     # 0 = auto (128 — one full Pallas lane quantum; pre-warmed from the
     # densest active bucket each segment and self-healed on overflow

@@ -476,6 +476,20 @@ def build_cosmo_force_frozen_both(config: SimulationConfig):
         )
         return acc / jnp.asarray(a, pos.dtype), ov
 
+    def masked_buckets_fn(pos, mass, act, a, plan):
+        # slot-table sibling of masked_frozen_fn: the integrator
+        # gathers only its compact ACTIVE rows
+        # (buckets[plan.gidx[idx_act]]) — the full-N readback costs
+        # ~12 ms/tick at N=2^20 for kicks that are zero on the ~95%
+        # rung-0 rows (the compact-kick protocol, active_capacity > 0)
+        buckets, ov = p3m_short_columns_frozen_masked(
+            pos, mass, act, plan, box, float(eps), r_s, r_cut, G=G,
+            ncell=ncell, col_capacity=ck, window=w,
+            split=config.force_split, softening=config.softening_kernel,
+            return_buckets=True,
+        )
+        return buckets / jnp.asarray(a, pos.dtype), ov
+
     def stale_fn(pos, plan):
         # LOUD staleness: count of particles whose drift exceeded the
         # full skin/2 budget while the plan was in use (their window /
@@ -512,7 +526,7 @@ def build_cosmo_force_frozen_both(config: SimulationConfig):
         )
 
     return (freeze_fn, both_frozen_fn, drift_ok_fn, masked_frozen_fn,
-            stale_fn, fresh_both_plan_fn)
+            stale_fn, fresh_both_plan_fn, masked_buckets_fn)
 
 
 @functools.lru_cache(maxsize=64)
@@ -828,7 +842,8 @@ class SimulationResult:
 # pure wall-clock.  Only fields the caller left at 0 (auto) participate:
 # explicit capacities (e.g. tests exercising the heal) are respected.
 _CAPACITY_FIELDS = (
-    "cell_capacity", "column_capacity", "column_window", "rung_capacity"
+    "cell_capacity", "column_capacity", "column_window", "rung_capacity",
+    "rung_active_capacity",
 )
 _CAPACITY_MEMORY: dict[tuple, dict[str, int]] = {}
 
@@ -1270,13 +1285,28 @@ def run_simulation(
                 return new_state
             attempts -= 1
             if ovt:
-                new_rcap = 2 * (cfg_run.rung_capacity or 128)
-                log(
-                    f"rung target-plane overflow ({ovt} particles) — "
-                    f"doubling rung capacity to {new_rcap}, re-running "
-                    f"segment"
-                )
-                cfg_run = cfg_run.replace(rung_capacity=new_rcap)
+                if frozen_both_fns is not None:
+                    # frozen-plan rung tier: ov_t is the COMPACT
+                    # active-row truncation count — double the active
+                    # capacity (a static scan arg; no force rebuild)
+                    new_acap = 2 * _active_cap()
+                    log(
+                        f"compact active-row overflow ({ovt} particles "
+                        f"beyond capacity) — doubling "
+                        f"rung_active_capacity to {new_acap}, "
+                        f"re-running segment"
+                    )
+                    cfg_run = cfg_run.replace(
+                        rung_active_capacity=new_acap
+                    )
+                else:
+                    new_rcap = 2 * (cfg_run.rung_capacity or 128)
+                    log(
+                        f"rung target-plane overflow ({ovt} particles) "
+                        f"— doubling rung capacity to {new_rcap}, "
+                        f"re-running segment"
+                    )
+                    cfg_run = cfg_run.replace(rung_capacity=new_rcap)
             if ovm:
                 from nbody.forces.p3m import p3m_short_params as _psp
 
@@ -1340,12 +1370,26 @@ def run_simulation(
     n_steps_total = 0
     _runner_cache: dict = {}
 
+    def _active_cap() -> int:
+        """Compact active-row capacity for the frozen-plan rung tier
+        (0 disables — the full-N readback path).  EXPLICIT knob only:
+        the compact path is bit-exact and loud but measured SLOWER at
+        bench scale (2.26 -> 2.10 steps/s at N=2^20 clustered) — XLA's
+        TPU scatter-add (38 ms for 131k rows) plus the per-step
+        nonzero compaction cost more in-scan than the full-N gather
+        they replace (33 ms).  Heals by doubling on the ov_t
+        channel."""
+        if frozen_both_fns is None or not rungs:
+            return 0
+        return cfg_run.rung_active_capacity
+
     def get_adaptive_runner(fn, sfns):
         """Adaptive runner, cached on the force-closure identity:
         construction re-jits (30-300 s over the remote compile service),
         so rebuild only when a capacity re-jit actually changed the
         force closures — not on every segment."""
-        key = (fn, sfns, rung_fns, both_fn, frozen_both_fns)
+        key = (fn, sfns, rung_fns, both_fn, frozen_both_fns,
+               _active_cap())
         runner = _runner_cache.get(key)
         if runner is None:
             cell = config.box / config.mesh_size
@@ -1368,6 +1412,7 @@ def run_simulation(
                     n_rungs=rungs,
                     acc_both_fn=both_fn,
                     frozen_both_fns=frozen_both_fns,
+                    active_capacity=_active_cap(),
                 )
             else:
                 runner = make_adaptive_cosmo_runner(
@@ -1425,6 +1470,7 @@ def run_simulation(
                 eta_disp=config.step_eta_disp,
                 eta_acc=config.step_eta_acc, eps=config.eps,
                 acc_both_fn=both_fn, frozen_both_fns=frozen_both_fns,
+                active_capacity=_active_cap(),
             )
             jax.block_until_ready(new.pos)
             seg_hists.clear()

@@ -890,6 +890,7 @@ def _column_kernel_masked(nch_ref, ws_ref, cht_ref, i_ref, j_ref, out_ref,
     static_argnames=(
         "box", "eps", "r_s", "r_cut", "G", "ncell", "col_capacity",
         "window", "interpret", "split", "softening", "chunk",
+        "return_buckets",
     ),
 )
 def p3m_short_columns_frozen_masked(
@@ -910,6 +911,7 @@ def p3m_short_columns_frozen_masked(
     split: str = "gaussian",
     softening: str = "plummer",
     chunk: int = 256,
+    return_buckets: bool = False,
 ):
     """Short-range column force ON the ``act`` subset FROM all, on a
     FROZEN plan — the rung tier's interior masked tick without plane
@@ -1013,6 +1015,12 @@ def p3m_short_columns_frozen_masked(
         [out[:3].reshape(3, P2 * stride).T, jnp.zeros((1, 3), dtype)],
         axis=0,
     )
+    if return_buckets:
+        # slot-table return: the caller gathers only its ACTIVE rows
+        # (acc_buckets[plan.gidx[idx_act]]) — the rung tier's compact
+        # readback (the full-N gather costs ~12 ms/tick at N=2^20 for
+        # kicks that are zero on ~95% of rows)
+        return G * acc_buckets.astype(pos.dtype), plan.ov
     acc = acc_buckets[plan.gidx]
     return G * acc.astype(pos.dtype), plan.ov
 

@@ -590,6 +590,7 @@ def run_cosmological_rungs(
     eps: float = 0.0,
     acc_both_fn=None,
     frozen_both_fns=None,
+    active_capacity: int = 0,
 ):
     """Block-step KDK with per-particle rungs (the full CONCEPT scheme).
 
@@ -645,6 +646,7 @@ def run_cosmological_rungs(
         jnp.asarray(eta_disp, dtype),
         jnp.asarray(2.0 * eta_acc * eps, dtype), cosmo,
         acc_both_fn=acc_both_fn, frozen_both_fns=frozen_both_fns,
+        active_capacity=int(active_capacity),
     )
 
 
@@ -675,7 +677,8 @@ def _assign_rungs(dla_i, dla_step, n_rungs):
 
 def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
                      acc_short_fn, acc_short_masked_fn,
-                     acc_both_fn=None, frozen_both_fns=None, plan=None):
+                     acc_both_fn=None, frozen_both_fns=None, plan=None,
+                     active_capacity=0):
     """One global KDK step with per-particle rung short-range kicks.
 
     ``x = (a0, a1, kl1, kl2, Fk, Dr, A_sub)`` — long half-kick factors
@@ -704,6 +707,9 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
         fresh_plan_fn = (
             frozen_both_fns[5] if len(frozen_both_fns) > 5 else None
         )
+        masked_buckets_fn = (
+            frozen_both_fns[6] if len(frozen_both_fns) > 6 else None
+        )
 
     p = st.vel + gl * kl1                      # long opening half-kick
     p = p + gs * Fk[0][rung][:, None]          # tick-0 short kicks
@@ -714,6 +720,33 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
     occ_t = jnp.int32(0)
     ov_stale = jnp.int32(0)
     gs_new = gs
+
+    compact = (
+        frozen_both_fns is not None
+        and len(frozen_both_fns) > 6
+        and active_capacity > 0
+    )
+    if compact:
+        # compact active index, fixed per step (rungs are): interior
+        # kicks touch only these rows — the slot-table readback +
+        # scatter-add replace a full-N gather per tick.  Truncation
+        # (n_act > active_capacity) is LOUD on the ov_t channel: the
+        # driver doubles rung_active_capacity and re-runs the segment.
+        act_any = rung >= 1
+        n_act = jnp.sum(act_any).astype(jnp.int32)
+        idx_act = jnp.nonzero(
+            act_any, size=int(active_capacity), fill_value=0
+        )[0]
+        act_valid = (
+            jnp.arange(int(active_capacity), dtype=jnp.int32)
+            < jnp.minimum(n_act, jnp.int32(active_capacity))
+        )
+        rung_act = rung[idx_act]
+        slot_act = plan.gidx[idx_act]
+        ov_t = jnp.maximum(
+            ov_t, jnp.maximum(n_act - jnp.int32(active_capacity), 0)
+        )
+
     for j in range(1, n_sub + 1):
         pos = jnp.mod(pos + p * Dr[j - 1], box)
         if j < n_sub:
@@ -734,16 +767,42 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
                 # staleness channel (ov_t) the driver heals by growing
                 # column_skin / shrinking the step — never a silent
                 # accuracy loss.
-                def _masked(pos=pos, act=act, j=j):
-                    return masked_frozen_fn(
-                        pos, st.mass, act, A_sub[j - 1], plan
-                    )
+                if compact:
+                    # compact kick: slot-table force, gathered at the
+                    # step's active rows only, scatter-added back
+                    def _maskedc(pos=pos, act=act, j=j):
+                        buckets, o = masked_buckets_fn(
+                            pos, st.mass, act, A_sub[j - 1], plan
+                        )
+                        return buckets[slot_act], o
 
-                g, o = jax.lax.cond(
-                    jnp.any(act),
-                    _masked,
-                    lambda: (jnp.zeros_like(st.pos), jnp.int32(0)),
-                )
+                    g_act, o = jax.lax.cond(
+                        jnp.any(act),
+                        _maskedc,
+                        lambda: (
+                            jnp.zeros(
+                                (int(active_capacity), 3), st.pos.dtype
+                            ),
+                            jnp.int32(0),
+                        ),
+                    )
+                    fk = jnp.where(
+                        act_valid, Fk[j][rung_act],
+                        jnp.zeros((), st.pos.dtype),
+                    )
+                    p = p.at[idx_act].add(g_act * fk[:, None])
+                    g = None
+                else:
+                    def _masked(pos=pos, act=act, j=j):
+                        return masked_frozen_fn(
+                            pos, st.mass, act, A_sub[j - 1], plan
+                        )
+
+                    g, o = jax.lax.cond(
+                        jnp.any(act),
+                        _masked,
+                        lambda: (jnp.zeros_like(st.pos), jnp.int32(0)),
+                    )
                 ov_b = jnp.maximum(ov_b, o)
                 if stale_fn is not None:
                     ov_stale = jnp.maximum(
@@ -815,7 +874,8 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
                 )
             gs_new = g
             ov_b = jnp.maximum(ov_b, o)
-        p = p + g * Fk[j][rung][:, None]
+        if g is not None:  # compact interior ticks already kicked
+            p = p + g * Fk[j][rung][:, None]
 
     if acc_both_fn is None and frozen_both_fns is None:
         gl_new = acc_long_fn(pos, st.mass, a1)
@@ -828,13 +888,13 @@ def _rung_block_step(st, gl, gs, rung, x, box, n_rungs, acc_long_fn,
     jax.jit,
     static_argnames=(
         "acc_long_fn", "acc_short_fn", "acc_short_masked_fn", "n_rungs",
-        "cosmo", "acc_both_fn", "frozen_both_fns",
+        "cosmo", "acc_both_fn", "frozen_both_fns", "active_capacity",
     ),
 )
 def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
                     acc_short_masked_fn, n_rungs, cell, eta_disp,
                     eta_acc_eps2, cosmo, acc_both_fn=None,
-                    frozen_both_fns=None):
+                    frozen_both_fns=None, active_capacity=0):
     H0, Om, OL = float(cosmo.H0), float(cosmo.Omega_m), float(cosmo.Omega_L)
 
     if frozen_both_fns is not None and len(frozen_both_fns) > 5:
@@ -878,6 +938,7 @@ def _run_scan_rungs(state, xs, box, acc_long_fn, acc_short_fn,
                 acc_long_fn, acc_short_fn, acc_short_masked_fn,
                 acc_both_fn=acc_both_fn,
                 frozen_both_fns=frozen_both_fns, plan=plan,
+                active_capacity=active_capacity,
             )
         )
         ovb, ovm, ovt, occt, ovst = ov
@@ -970,6 +1031,7 @@ def make_adaptive_rung_runner(
     n_rungs: int = 3,
     acc_both_fn=None,
     frozen_both_fns=None,
+    active_capacity: int = 0,
 ):
     """Adaptive global step COMPOSED with per-particle rungs — CONCEPT's
     actual integrator structure (adaptive background step + rung
@@ -1057,6 +1119,7 @@ def make_adaptive_rung_runner(
                     acc_long_fn, acc_short_fn, acc_short_masked_fn,
                     acc_both_fn=acc_both_fn,
                     frozen_both_fns=frozen_both_fns, plan=plan,
+                    active_capacity=active_capacity,
                 )
             )
             ovb, ovm, ovt, occt, ovst = ov5

@@ -219,6 +219,12 @@ def rungs_mode(n_steps: int = 4, n_rungs: int = 3, frac_hot: float = 0.05,
             fbf = (freeze_fn, both_fz, drift_ok, masked_fz) + rest
         kw["frozen_both_fns"] = fbf
 
+    if "--compact" in sys.argv and kw.get("frozen_both_fns") is not None:
+        # compact active-row kicks — measured SLOWER at bench scale
+        # (2.26 -> 2.10 steps/s: XLA scatter-add + nonzero beat the
+        # full-N gather they replace); kept as an explicit experiment
+        kw["active_capacity"] = -(-max(n // 8, 2048) // 128) * 128
+
     def run(st):
         return run_cosmological_rungs(
             st, cosmo, a_grid, rung_fns[0], rung_fns[1], rung_fns[2],

@@ -543,6 +543,40 @@ class TestFrozenBoundaryTick:
             np.asarray(got.pos), np.asarray(ref.pos), rtol=0, atol=2e-4
         )
 
+    def test_rungs_compact_kick_bit_exact(self):
+        """active_capacity > 0 (the compact slot-table readback +
+        scatter-add kicks) matches the full-N gather path to f32
+        rounding (the full path's p + g*Fk fuses to an FMA; the
+        compact mul-then-scatter-add rounds separately), and
+        truncation (n_act > capacity) is loud on the ov_t channel."""
+        from nbody.integrate.cosmo_stepping import (
+            log_a_steps,
+            run_cosmological_rungs,
+        )
+
+        cfg, cosmo, state, fns = self._setup(rungs=2)
+        a_grid = log_a_steps(0.5, 0.6, 2)
+        args = (state, cosmo, a_grid, fns["rungs"][0], fns["rungs"][1],
+                fns["rungs"][2], cfg.box, 2, cfg.box / cfg.mesh_size)
+        kw = dict(eta_disp=0.05, acc_both_fn=fns["both"],
+                  frozen_both_fns=fns["frozen_both"])
+        full = run_cosmological_rungs(*args, **kw)
+        n = state.pos.shape[0]
+        cap = -(-n // 128) * 128  # >= every particle: no truncation
+        compact = run_cosmological_rungs(*args, **kw, active_capacity=cap)
+        assert int(compact[3]) == 0
+        np.testing.assert_allclose(
+            np.asarray(compact[0].pos), np.asarray(full[0].pos),
+            rtol=0, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(compact[0].vel), np.asarray(full[0].vel),
+            rtol=1e-5,
+            atol=1e-6 * float(jnp.abs(full[0].vel).max()),
+        )
+        trunc = run_cosmological_rungs(*args, **kw, active_capacity=128)
+        assert int(trunc[3]) > 0  # loud active-row truncation
+
     def test_rungs(self):
         from nbody.integrate.cosmo_stepping import (
             log_a_steps,
