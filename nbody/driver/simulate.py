@@ -525,6 +525,23 @@ def build_cosmo_force_frozen_both(config: SimulationConfig):
             plan,
         )
 
+    if int(config.rungs) >= 2:
+        # the interior-tick frozen masked path is only handed out when
+        # the (geometry-clamped) skin actually covers one global step's
+        # deepest-rung interior drift — otherwise staleness would fire
+        # every step, exhaust the column_skin heal and raise (e.g.
+        # rungs >= 4 at default eta: needed 0.75 * 2^(R-1) * eta cells
+        # exceeds the xy-slack/halo clamps).  Without it the integrator
+        # falls back to the per-tick CELLS masked kernel (round-3 mixed
+        # mode) while the BOUNDARY keeps the frozen/fresh fused eval.
+        cell = config.box / config.mesh_size
+        needed = (
+            0.75 * (2 ** (int(config.rungs) - 1))
+            * float(config.step_eta_disp) * cell * 1.05
+        )
+        if 0.5 * skin < needed:
+            return (freeze_fn, both_frozen_fn, drift_ok_fn)
+
     return (freeze_fn, both_frozen_fn, drift_ok_fn, masked_frozen_fn,
             stale_fn, fresh_both_plan_fn, masked_buckets_fn)
 

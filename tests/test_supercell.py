@@ -152,6 +152,30 @@ def test_stride_guard_resolves_supercell_to_columns():
     assert not columns_stride_ok(500.0, 18.0, 65536)
 
 
+def test_grow_skin_heal_bounded_by_geometry():
+    """The plan-stale heal grows column_skin by 1.5x toward the frozen
+    geometry's hard maxima (xy slack / supercell halo) and returns None
+    at the ceiling — the driver then raises instead of looping."""
+    from nbody.driver.config import SimulationConfig
+    from nbody.driver.simulate import _frozen_geometry, _grow_skin
+
+    cfg = SimulationConfig(
+        n_side=48, box=500.0, solver="p3m", pm_grid=128,
+        shortrange="supercell", rungs=3,
+    )
+    geom = _frozen_geometry(cfg)
+    assert geom is not None and geom[0] == "supercell"
+    skin0 = geom[6]
+    grown = _grow_skin(cfg)
+    if grown is not None:
+        assert grown > skin0
+        # a config already AT the ceiling cannot grow
+        at_max = cfg.replace(column_skin=grown)
+        while _grow_skin(at_max) is not None:
+            at_max = at_max.replace(column_skin=_grow_skin(at_max))
+        assert _grow_skin(at_max) is None
+
+
 def test_columns_stride_budget_raises_loudly():
     """Past even the columns stride budget the force API fails with an
     actionable error instead of a Mosaic scoped-VMEM compile OOM."""
