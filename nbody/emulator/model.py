@@ -106,6 +106,21 @@ def max_conv_blocks(n: int) -> int:
     return blocks
 
 
+def _max_pool_222(x):
+    """Non-overlapping 2x2x2 max pool via crop + reshape + reduce-max.
+
+    Same values as ``nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))``
+    (VALID padding crops the odd trailing edge identically), but its
+    VJP is a broadcast-compare mask instead of XLA's 3-D
+    SelectAndScatter — the SelectAndScatter dominated the conv stack's
+    backward on the v5e (conv-stack grad 28.7 ms -> 19.5 ms measured
+    with the pooling backward removed)."""
+    b, d, h, w, c = x.shape
+    x = x[:, : d // 2 * 2, : h // 2 * 2, : w // 2 * 2, :]
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    return x.max(axis=(2, 4, 6))
+
+
 class CosmoCNN(nn.Module):
     """delta(x) volume -> cosmological parameter regression.
 
@@ -126,6 +141,12 @@ class CosmoCNN(nn.Module):
     global_pool: bool = True  # GAP (True) vs Flatten
     heteroscedastic: bool = False
     variational: bool = False
+    #: computation dtype for the conv/dense stack: "auto" = bfloat16 on
+    #: TPU (parameters and the loss stay float32 — standard TPU mixed
+    #: precision; f32 3-D convs lower to multi-pass bf16 on the MXU and
+    #: their backward measured 3.2x slower on the v5e), float32
+    #: elsewhere (CPU tests stay bit-deterministic).  "f32"/"bf16" pin.
+    compute_dtype: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -137,13 +158,22 @@ class CosmoCNN(nn.Module):
                 f"zero size (VALID conv + 2x pool); max is "
                 f"{max_conv_blocks(x.shape[1])}"
             )
+        if self.compute_dtype == "bf16" or (
+            self.compute_dtype == "auto"
+            and jax.default_backend() == "tpu"
+            and not self.variational
+        ):
+            dt = jnp.bfloat16
+        else:
+            dt = None
         for _ in range(self.n_conv):
             if self.variational:
                 x = Conv3DVariational(self.filters)(x)
             else:
-                x = nn.Conv(self.filters, (3, 3, 3), padding="VALID")(x)
+                x = nn.Conv(self.filters, (3, 3, 3), padding="VALID",
+                            dtype=dt)(x)
             x = nn.relu(x)
-            x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+            x = _max_pool_222(x)
             if self.full_dropout:
                 x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         if self.global_pool:
@@ -154,13 +184,13 @@ class CosmoCNN(nn.Module):
             if self.variational:
                 x = DenseVariational(self.dense_units)(x)
             else:
-                x = nn.Dense(self.dense_units)(x)
+                x = nn.Dense(self.dense_units, dtype=dt)(x)
             x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         width = 2 * self.n_out if self.heteroscedastic else self.n_out
         if self.variational:
             return DenseVariational(width)(x)
-        return nn.Dense(width)(x)
+        return nn.Dense(width, dtype=dt)(x).astype(jnp.float32)
 
     # -- prediction splitting ------------------------------------------------
     def split_prediction(self, pred):

@@ -252,6 +252,50 @@ class TestTraining:
         baseline = float(np.var(val.y[:, 0] - train.y[:, 0].mean()))
         assert res.best_val_loss < baseline
 
+    def test_scanned_loop_semantics(self, tmp_path):
+        """The device-resident scan keeps the host loop's bookkeeping
+        contract: best-val tracking, early stop (patience after start),
+        plateau-LR reduction — all computed in-carry."""
+        root, _ = _make_dataset(tmp_path, n=16, nmesh=8, band=(0.5e-9, 4.0e-9))
+        train = DeltaDataset.from_directory(root, "train")
+        val = DeltaDataset.from_directory(root, "val")
+        model = CosmoCNN(n_out=1, n_conv=1, filters=4, dense_units=8)
+        res = fit(model, train, val, epochs=60, batch_size=4, lr=5e-2,
+                  seed=1, augment=False,
+                  early_stop_patience=4, early_stop_start=5,
+                  reduce_lr_patience=3, reduce_lr_factor=0.5, min_lr=1e-4,
+                  epoch_chunk=16)
+        vl = np.asarray(res.history["val_loss"])
+        lrs = np.asarray(res.history["lr"])
+        n_run = len(vl)
+        # best-val contract
+        assert res.best_epoch == int(np.argmin(vl))
+        assert res.best_val_loss == pytest.approx(float(vl.min()))
+        # plateau-LR: lr never increases, respects the floor
+        assert (np.diff(lrs) <= 1e-12).all() and lrs.min() >= 1e-4 - 1e-12
+        # early stop: if we stopped before the epoch budget, the stop
+        # epoch is past start and the last 4 epochs never improved on
+        # the running best
+        if n_run < 60:
+            assert n_run - 1 >= 5
+            run_best = np.minimum.accumulate(vl)
+            assert (vl[-4:] > run_best[-5:-1]).all()
+
+    def test_scanned_matches_contract_of_host_loop(self, tmp_path):
+        """host_loop=True (the streaming fallback for HBM-oversized data)
+        still trains and returns the same result structure."""
+        root, _ = _make_dataset(tmp_path, n=12, nmesh=8)
+        train = DeltaDataset.from_directory(root, "train")
+        val = DeltaDataset.from_directory(root, "val")
+        model = CosmoCNN(n_out=1, n_conv=1, filters=4, dense_units=8)
+        res = fit(model, train, val, epochs=3, batch_size=4, lr=1e-3,
+                  seed=0, host_loop=True)
+        assert len(res.history["val_loss"]) == 3
+        assert np.isfinite(res.history["train_loss"]).all()
+        res2 = fit(model, train, val, epochs=3, batch_size=4, lr=1e-3,
+                   seed=0, epoch_chunk=2)  # uneven final chunk
+        assert len(res2.history["val_loss"]) == 3
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from nbody.emulator.train import load_params, save_params
 
