@@ -86,6 +86,18 @@ def mean_relative_error(k, P, k_theory, P_theory, k_max=None) -> float:
     return float(rel.mean()) if rel.size else float("nan")
 
 
+def signed_deviation_percent(k, P, k_theory, P_theory, k_max=None):
+    """SIGNED per-bin deviation 100 * (P - P_th) / P_th, theory
+    interpolated onto P's k-grid, masked to k <= k_max — the quantity
+    the reference's per-solver error histograms plot
+    (`pppmp3mplotter.py:181-212`).  Returns (k_masked, dev_percent)."""
+    k = np.asarray(k, dtype=np.float64)
+    P = np.asarray(P, dtype=np.float64)
+    mask = np.ones_like(k, dtype=bool) if k_max is None else k <= k_max
+    Pi = np.interp(k[mask], np.asarray(k_theory), np.asarray(P_theory))
+    return k[mask], 100.0 * (P[mask] - Pi) / Pi
+
+
 # --------------------------------------------------------------------------
 # Comparison studies
 # --------------------------------------------------------------------------
@@ -108,7 +120,8 @@ def _run_and_measure(config, seed, workdir):
 
 
 def compare_solver_spectra(
-    config, solvers=("pp", "pm", "p3m"), seed: int = 0, fig_path: str | None = None
+    config, solvers=("pp", "pm", "p3m"), seed: int = 0,
+    fig_path: str | None = None, hist_fig_path: str | None = None,
 ) -> dict:
     """Run the same realization through each solver; return per-solver
     spectra + mean relative error vs linear theory + runtimes — the
@@ -116,6 +129,8 @@ def compare_solver_spectra(
 
     The reference's version of this took 2d23h (PP), 4:18min (P3M) and
     12.1s (PM) on a desktop for N=64^3 (SURVEY.md §6).
+    ``hist_fig_path`` additionally writes the reference's per-solver
+    signed %-deviation histogram figure (its "Figur 3").
     """
     k_ny = nyquist_k(config.mesh_size, config.box)
     out = {}
@@ -124,10 +139,52 @@ def compare_solver_spectra(
         r["mean_rel_err"] = mean_relative_error(
             r["k"], r["P"], r["k"], r["P_linear"], k_max=k_ny
         )
+        r["k_dev"], r["signed_dev_percent"] = signed_deviation_percent(
+            r["k"], r["P"], r["k"], r["P_linear"], k_max=k_ny
+        )
         out[solver] = r
     if fig_path:
         _solver_figure(out, config, k_ny, fig_path)
+    if hist_fig_path:
+        deviation_histogram_figure(out, config, hist_fig_path)
     return out
+
+
+def deviation_histogram_figure(results, config, fig_path):
+    """Per-solver signed %-deviation bar histograms, shared axes — the
+    reference's `pppmp3mplotter.py:181-212` "fejl-histogrammer" figure
+    (one narrow log-spaced bar per k-bin, zero line, solver titles)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = list(results)
+    fig, axs = plt.subplots(
+        1, max(len(names), 1), figsize=(4 * max(len(names), 1), 6),
+        sharey=True, sharex=True, squeeze=False,
+    )
+    colors = ["tab:blue", "tab:orange", "tab:green", "tab:red"]
+    for ax, name, col in zip(axs[0], names, colors):
+        r = results[name]
+        kv = np.asarray(r["k_dev"])
+        dev = np.asarray(r["signed_dev_percent"])
+        if kv.size > 1:
+            width = np.diff(np.log10(kv)).min() * 0.2
+        else:
+            width = 0.01
+        ax.bar(kv, dev, width=width, color=col, alpha=0.7, align="center")
+        ax.axhline(0, color="k", lw=0.8)
+        ax.set_xscale("log")
+        ax.set_xlabel(r"$k$ [Mpc$^{-1}$]")
+        ax.set_title(name)
+        ax.grid(ls=":", alpha=0.7)
+    axs[0][0].set_ylabel("Relative deviation [%]")
+    fig.suptitle("Deviation from linear power spectrum")
+    fig.tight_layout()
+    fig.savefig(fig_path, dpi=120)
+    plt.close(fig)
+    return fig_path
 
 
 def _solver_figure(results, config, k_ny, fig_path):

@@ -56,17 +56,34 @@ class TestMetrics:
     def test_nyquist(self):
         assert nyquist_k(64, 500.0) == pytest.approx(np.pi * 64 / 500.0)
 
+    def test_signed_deviation(self):
+        from nbody.analysis.compare import signed_deviation_percent
+
+        k = np.array([0.1, 0.2, 0.3, 0.5])
+        P_th = 100.0 / k
+        P = P_th * np.array([1.1, 0.9, 1.0, 2.0])
+        km, dev = signed_deviation_percent(k, P, k, P_th, k_max=0.35)
+        assert len(km) == 3
+        np.testing.assert_allclose(dev, [10.0, -10.0, 0.0], atol=1e-9)
+
 
 class TestStudies:
     def test_solver_comparison(self, tmp_path):
         fig = str(tmp_path / "solvers.png")
-        out = compare_solver_spectra(TINY, solvers=("pm", "p3m"), fig_path=fig)
+        hist = str(tmp_path / "solver_hist.png")
+        out = compare_solver_spectra(
+            TINY, solvers=("pm", "p3m"), fig_path=fig, hist_fig_path=hist
+        )
         assert set(out) == {"pm", "p3m"}
         for r in out.values():
             assert np.isfinite(r["mean_rel_err"])
             assert r["wall_s"] > 0
             assert (r["P"][r["modes"] > 0] >= 0).all()
+            # the signed histogram channel (reference Figur 3)
+            assert len(r["k_dev"]) == len(r["signed_dev_percent"])
+            assert np.isfinite(r["signed_dev_percent"]).all()
         assert os.path.exists(fig)
+        assert os.path.exists(hist)
 
     def test_lpt_comparison(self, tmp_path):
         fig = str(tmp_path / "lpt.png")
