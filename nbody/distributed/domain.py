@@ -755,12 +755,11 @@ def make_domain_p3m_local(
         from nbody.forces.p3m import supercell_ncell
 
         sc_ncell = supercell_ncell(box, nmesh, geom.r_cut)
-        if sc_ncell is None or sc_ncell % D or interlace:
+        if sc_ncell is None or sc_ncell % D:
             raise ValueError(
                 f"domain supercell needs a divisor chaining grid that "
-                f"also splits over {D} devices and a non-interlaced far "
-                f"field (got sc_ncell={sc_ncell}, interlace={interlace}) "
-                f"— use shortrange='columns'"
+                f"also splits over {D} devices "
+                f"(got sc_ncell={sc_ncell}) — use shortrange='columns'"
             )
 
     def supercell_eval(pos_l, mass_l, a_s, a_l):
@@ -813,9 +812,50 @@ def make_domain_p3m_local(
         )
         kx, ky, kz = kvecs_slab(nmesh, box, d, D, dtype)
         total_mass = jax.lax.psum(jnp.sum(mass_l), axis_name)
-        delta_k = slab_rfftn(rho_l, axis_name) / (total_mass / nmesh**3)
+        mean_cell = total_mass / nmesh**3
+        h_cell = box / nmesh
+        if interlace:
+            # slab sibling of the single-device fused interlacing
+            # (`nbody.forces.pm.pm_force_grids_from_rho_pair`): second
+            # MXU deposit at the half-cell shift, alias cancellation in
+            # k (phase e^{-i k.d/2} — CLAUDE.md convention), and the
+            # shifted force grids contracted in-kernel as node rows 3-5
+            # (the reference's shipped NN config interlaces forces AND
+            # runs under MPI, `TheFeedingPipeline/NN.param:72-76` +
+            # `SnapVsPK/Ucertain.py:89`)
+            rho1_l = supercell_deposit_local(
+                plane, counts, box=box, nmesh=nmesh, ncell=sc_ncell,
+                n_dev=D, stride=stride, gz=gzs, axis_name=axis_name,
+                chunk=chunk, shift=0.5,
+            )
+            ph_c = jnp.exp(
+                -1j * ((kx + ky + kz) * (h_cell / 2.0)).astype(dtype)
+            )
+            delta_k = 0.5 * (
+                slab_rfftn(rho_l, axis_name)
+                + slab_rfftn(rho1_l, axis_name) * ph_c
+            ) / mean_cell
+        else:
+            delta_k = slab_rfftn(rho_l, axis_name) / mean_cell
         delta_k = _deconvolved(delta_k, kx, ky, kz)
-        _, grids = _solve_grids(delta_k, a_l, kx, ky, kz, dtype)
+        phi_k, grids = _solve_grids(delta_k, a_l, kx, ky, kz, dtype)
+        if interlace:
+            # second force-readback grid set at the +half-cell shift
+            # (phase e^{+i k.d/2}); the fused kernel's second triangle
+            # contraction averages the two passes
+            gxk = _grad1(kx, h_cell, grad_order)
+            gyk = _grad1(ky, h_cell, grad_order)
+            gzk = _grad1(kz, h_cell, grad_order)
+            ph_f = jnp.exp(
+                1j * ((kx + ky + kz) * (h_cell / 2.0)).astype(dtype)
+            )
+            grids1 = jnp.stack(
+                [
+                    slab_irfftn(-1j * gj * phi_k * ph_f, nmesh, axis_name)
+                    for gj in (gxk, gyk, gzk)
+                ]
+            )
+            grids = jnp.concatenate([grids, grids1], axis=0)
         subgrids = extract_local_subgrids(
             grids, sc_ncell, S, ZP, n_dev=D, axis_name=axis_name
         )
@@ -824,6 +864,7 @@ def make_domain_p3m_local(
             maxch=maxch, gz=gzs, chunk=chunk, eps2=eps2, r_s=geom.r_s,
             r_cut=geom.r_cut, split=split, softening=softening, S=S,
             ZP=ZP, scale=float(nmesh / box), split_out=True, nx=nxl_sc,
+            interlaced=interlace,
         )
         buckets6 = jnp.concatenate(
             [out[:6].reshape(6, -1).T, jnp.zeros((1, 6), jnp.float32)],
@@ -985,7 +1026,8 @@ def make_domain_p3m_force(
 
 
 def _rung_ticks(pos, p, mass, gl, gs, rung, Fk, Dr, A_sub, *, box, geom,
-                D, E, axis_name, n_rungs, short_acc, masked_acc):
+                D, E, axis_name, n_rungs, short_acc, masked_acc,
+                frozen_masked=None, plan=None, stale_fn=None):
     """Sub-ticks 1..n_sub of one rung block step on the local slab.
 
     Each tick: drift all particles, migrate (rung labels + carried
@@ -995,9 +1037,19 @@ def _rung_ticks(pos, p, mass, gl, gs, rung, Fk, Dr, A_sub, *, box, geom,
     the boundary tick via the full short force.  The caller applies the
     long half-kicks and the tick-0 short kick.
 
-    Returns (pos, p, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg) with
-    per-knob overflow channels (exchange / source-plane bucket /
-    active-target plane) plus the densest-active-bucket occupancy.
+    With ``frozen_masked``/``plan`` (round-4 VERDICT item 5) interior
+    ticks instead ride the step's FROZEN local column plan
+    (`nbody.forces.p3m_columns.p3m_local_columns_frozen_masked`):
+    no slab_exchange and no plane rebuild mid-step — particles stay on
+    their freeze-time device (drift is bounded by the plan's skin/2,
+    inside the halo margin) and migrate once, at the boundary tick.
+    Drift beyond skin/2 raises the separate plan-stale channel (the
+    driver heals ``column_skin``) — never a silent accuracy loss.
+
+    Returns (pos, p, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg, ov_pl,
+    ov_st) with per-knob overflow channels (exchange / source-plane
+    bucket / active-target plane / frozen-plan word / plan staleness)
+    plus the densest-active-bucket occupancy.
     """
     from nbody.integrate.cosmo_stepping import rung_active_min
 
@@ -1006,44 +1058,64 @@ def _rung_ticks(pos, p, mass, gl, gs, rung, Fk, Dr, A_sub, *, box, geom,
     ov_bk = jnp.int32(0)
     ov_tg = jnp.int32(0)
     occ_tg = jnp.int32(0)
+    ov_pl = jnp.int32(0)
+    ov_st = jnp.int32(0)
     dtype = pos.dtype
     rungf = rung.astype(dtype)
     for j in range(1, n_sub + 1):
         pos = jnp.mod(pos + p * Dr[j - 1], box)
-        pos, p, mass, (gl, gs, rungf), ov_e = slab_exchange(
-            pos, p, mass,
-            box=box, ncell=geom.ncell, n_dev=D,
-            exchange_capacity=E, axis_name=axis_name,
-            extras=(gl, gs, rungf),
-        )
-        ov_ex = jnp.maximum(ov_ex, ov_e)
-        rung = rungf.astype(jnp.int32)
+        if frozen_masked is None or j == n_sub:
+            pos, p, mass, (gl, gs, rungf), ov_e = slab_exchange(
+                pos, p, mass,
+                box=box, ncell=geom.ncell, n_dev=D,
+                exchange_capacity=E, axis_name=axis_name,
+                extras=(gl, gs, rungf),
+            )
+            ov_ex = jnp.maximum(ov_ex, ov_e)
+            rung = rungf.astype(jnp.int32)
         if j < n_sub:
             act = (rung >= rung_active_min(j, n_rungs)) & (mass > 0)
             # uniform predicate (psum) so every device takes the same
             # branch and the collectives inside the masked force stay
             # aligned
             n_act = jax.lax.psum(jnp.sum(act.astype(jnp.int32)), axis_name)
-            g, ov_j, ov_i, occ_i = jax.lax.cond(
-                n_act > 0,
-                lambda pos=pos, mass=mass, act=act, j=j:
-                    masked_acc(pos, mass, act, A_sub[j - 1]),
-                lambda: (
-                    jnp.zeros_like(pos),
-                    jnp.int32(0),
-                    jnp.int32(0),
-                    jnp.int32(0),
-                ),
-            )
-            ov_bk = jnp.maximum(ov_bk, ov_j)
-            ov_tg = jnp.maximum(ov_tg, ov_i)
-            occ_tg = jnp.maximum(occ_tg, occ_i)
+            if frozen_masked is not None:
+                g, ov_p = jax.lax.cond(
+                    n_act > 0,
+                    lambda pos=pos, mass=mass, act=act, j=j:
+                        frozen_masked(pos, mass, act, A_sub[j - 1], plan),
+                    lambda: (jnp.zeros_like(pos), jnp.int32(0)),
+                )
+                ov_pl = jnp.maximum(ov_pl, ov_p)
+                if stale_fn is not None:
+                    ov_st = jnp.maximum(
+                        ov_st,
+                        jnp.where(
+                            n_act > 0, stale_fn(pos, plan), jnp.int32(0)
+                        ),
+                    )
+            else:
+                g, ov_j, ov_i, occ_i = jax.lax.cond(
+                    n_act > 0,
+                    lambda pos=pos, mass=mass, act=act, j=j:
+                        masked_acc(pos, mass, act, A_sub[j - 1]),
+                    lambda: (
+                        jnp.zeros_like(pos),
+                        jnp.int32(0),
+                        jnp.int32(0),
+                        jnp.int32(0),
+                    ),
+                )
+                ov_bk = jnp.maximum(ov_bk, ov_j)
+                ov_tg = jnp.maximum(ov_tg, ov_i)
+                occ_tg = jnp.maximum(occ_tg, occ_i)
         else:
             g, ov_b = short_acc(pos, mass, A_sub[j - 1])
             gs = g
             ov_bk = jnp.maximum(ov_bk, ov_b)
         p = p + g * Fk[j][rung][:, None]
-    return pos, p, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg
+    return (pos, p, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg, ov_pl,
+            ov_st)
 
 
 class DomainRunResult(NamedTuple):
@@ -1055,6 +1127,12 @@ class DomainRunResult(NamedTuple):
     target_overflow: jax.Array | None = None
     target_occupancy: jax.Array | None = None
     rung_hists: jax.Array | None = None  # (n_steps, n_rungs)
+    # frozen rung tier only: the plan's field-encoded freeze-time
+    # overflow word (heal: col_capacity / col_window) and the
+    # plan-staleness count (drift beyond skin/2; heal: column_skin) —
+    # both pmax-reduced across devices and steps
+    plan_overflow: jax.Array | None = None
+    plan_stale: jax.Array | None = None
 
 
 def run_cosmological_domain(
@@ -1083,6 +1161,8 @@ def run_cosmological_domain(
     shortrange: str = "cells",
     col_capacity: int | None = None,
     col_window: int | None = None,
+    rung_frozen: bool = False,
+    column_skin: float = 0.0,
 ) -> DomainRunResult:
     """Comoving KDK over ``a_grid`` with slab-resident particles.
 
@@ -1129,22 +1209,72 @@ def run_cosmological_domain(
     subcycled = (not rung_mode) and n_sub > 1 and split != "none"
     fkw = dict(deconvolve_p=deconvolve_p, split=split, grad_order=grad_order,
                interlace=interlace, softening=softening)
-    # the rung tiers keep the cells packing (the masked interior kernel
-    # shares the cells geometry, and mixing the columns tier's
-    # field-encoded overflow word with the cells counts on one channel
-    # would confuse the driver's heal) — columns applies to the plain and
-    # subcycled paths
+    # the rung tiers' BOUNDARY/masked evals keep the cells packing (the
+    # masked interior kernel shares the cells geometry, and mixing the
+    # columns tier's field-encoded overflow word with the cells counts
+    # on one channel would confuse the driver's heal) — columns applies
+    # to the plain and subcycled paths.  rung_frozen=True instead rides
+    # a per-step FROZEN local column plan for the interior masked ticks
+    # (separate plan_overflow/plan_stale channels; round-4 VERDICT
+    # item 5 — the single-device frozen masked column tick measured
+    # 51 ms vs the 304 ms masked cells tick, clustered N=2^20).
     fkw_s = fkw if rung_mode else fkw | dict(
         shortrange=shortrange, col_capacity=col_capacity,
         col_window=col_window,
     )
+    frozen_fns = None
     if rung_mode:
         long_acc = make_domain_p3m_local(cosmo, geom, eps, part="long", **fkw)
         short_acc = make_domain_p3m_local(cosmo, geom, eps, part="short", **fkw)
-        masked_acc = make_domain_p3m_local(
-            cosmo, geom, eps, part="short_masked",
-            target_capacity=target_capacity, **fkw,
-        )
+        masked_acc = None
+        if rung_frozen:
+            if not col_capacity:
+                raise ValueError(
+                    "rung_frozen needs an explicit col_capacity (compute "
+                    "it via nbody.forces.p3m_columns.column_params)"
+                )
+            if column_skin <= 0.0:
+                raise ValueError(
+                    "rung_frozen needs column_skin > 0 (the per-step "
+                    "drift budget the frozen plan is sized for)"
+                )
+            from nbody.core import units as u
+            from nbody.forces.p3m_columns import (
+                column_window, freeze_local_column_plan, local_plan_stale,
+                p3m_local_columns_frozen_masked,
+            )
+
+            _ck = -(-int(col_capacity) // 128) * 128
+            _cw = int(col_window or column_window(box, geom.r_cut, _ck))
+            _G = u.COSMO.G
+            _skin = float(column_skin)
+
+            def _freeze(pos_l, mass_l):
+                return freeze_local_column_plan(
+                    pos_l, mass_l, box=box, r_cut=geom.r_cut,
+                    ncell=geom.ncell, n_dev=D, col_capacity=_ck,
+                    window=_cw, axis_name=axis_name, skin=_skin,
+                )
+
+            def _frozen_masked(pos_l, mass_l, act_l, a, plan):
+                g, ov = p3m_local_columns_frozen_masked(
+                    pos_l, mass_l, act_l, plan, box=box, eps=float(eps),
+                    r_s=geom.r_s, r_cut=geom.r_cut, G=_G,
+                    ncell=geom.ncell, n_dev=D, col_capacity=_ck,
+                    window=_cw, axis_name=axis_name, split=split,
+                    softening=softening,
+                )
+                return g / a, ov
+
+            def _stale(pos_l, plan):
+                return local_plan_stale(pos_l, plan, box, _skin)
+
+            frozen_fns = (_freeze, _frozen_masked, _stale)
+        else:
+            masked_acc = make_domain_p3m_local(
+                cosmo, geom, eps, part="short_masked",
+                target_capacity=target_capacity, **fkw,
+            )
     elif subcycled:
         long_acc = make_domain_p3m_local(cosmo, geom, eps, part="long", **fkw)
         short_acc = make_domain_p3m_local(
@@ -1226,7 +1356,8 @@ def run_cosmological_domain(
             gs0, ov0 = short_acc(pos_l, mass_l, t0)
 
             def body(carry, x):
-                pos, vel, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg = carry
+                (pos, vel, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg,
+                 ov_pl, ov_st) = carry
                 a0, a1, kl1, kl2, Fk_s, Dr_s, A_s = x
 
                 dla_i = _rung_demand(vel, gl, gs, a0, celld, etad, etaa,
@@ -1244,31 +1375,55 @@ def run_cosmological_domain(
                     axis_name,
                 )
 
+                if frozen_fns is not None:
+                    # per-step boundary freeze: positions are unchanged
+                    # since the previous boundary exchange, so this IS
+                    # the boundary-freeze protocol (at most one argsort
+                    # per global step; CLAUDE.md); the plan serves all
+                    # of this step's interior masked ticks
+                    plan = frozen_fns[0](pos, mass)
+                    ov_pl = jnp.maximum(ov_pl, plan.ov)
+                else:
+                    plan = None
+
                 p = vel + gl * kl1             # long opening half-kick
                 p = p + gs * Fk_s[0][rung][:, None]
-                pos, p, mass, gl, gs, ov_e, ov_b, ov_t, occ_t = _rung_ticks(
+                (pos, p, mass, gl, gs, ov_e, ov_b, ov_t, occ_t, ov_p,
+                 ov_s) = _rung_ticks(
                     pos, p, mass, gl, gs, rung, Fk_s, Dr_s, A_s,
                     box=box, geom=geom, D=D, E=E, axis_name=axis_name,
                     n_rungs=n_rungs, short_acc=short_acc,
                     masked_acc=masked_acc,
+                    frozen_masked=(
+                        frozen_fns[1] if frozen_fns is not None else None
+                    ),
+                    plan=plan,
+                    stale_fn=(
+                        frozen_fns[2] if frozen_fns is not None else None
+                    ),
                 )
                 ov_ex = jnp.maximum(ov_ex, ov_e)
                 ov_bk = jnp.maximum(ov_bk, ov_b)
                 ov_tg = jnp.maximum(ov_tg, ov_t)
                 occ_tg = jnp.maximum(occ_tg, occ_t)
+                ov_pl = jnp.maximum(ov_pl, ov_p)
+                ov_st = jnp.maximum(ov_st, ov_s)
 
                 gl = long_acc(pos, mass, a1)
                 vel = p + gl * kl2
                 return (
-                    pos, vel, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg
+                    pos, vel, mass, gl, gs, ov_ex, ov_bk, ov_tg, occ_tg,
+                    ov_pl, ov_st,
                 ), hist
 
             init = (
                 pos_l, vel_l, mass_l, gl0, gs0,
                 jnp.int32(0), ov0, jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0),
             )
             (
-                pos_l, vel_l, mass_l, _, _, ov_ex, ov_bk, ov_tg, occ_tg
+                pos_l, vel_l, mass_l, _, _, ov_ex, ov_bk, ov_tg, occ_tg,
+                ov_pl, ov_st,
             ), hists = jax.lax.scan(body, init, xs)
             return (
                 pos_l, vel_l, mass_l,
@@ -1276,6 +1431,8 @@ def run_cosmological_domain(
                 jax.lax.psum(ov_bk, axis_name),
                 jax.lax.psum(ov_tg, axis_name),
                 jax.lax.pmax(occ_tg, axis_name),
+                jax.lax.pmax(ov_pl, axis_name),
+                jax.lax.pmax(ov_st, axis_name),
                 hists,
             )
 
@@ -1379,7 +1536,7 @@ def run_cosmological_domain(
             jax.lax.psum(ov_ex, axis_name), jax.lax.pmax(ov_bk, axis_name),
         )
 
-    n_scalar_out = 5 if rung_mode else 2
+    n_scalar_out = 7 if rung_mode else 2
     run = _shard_map(
         local_run,
         mesh=mesh,
@@ -1398,7 +1555,8 @@ def run_cosmological_domain(
         jnp.asarray(a_grid[0], dtype), xs,
     )
     if rung_mode:
-        pos, vel, mass, ov_ex, ov_bk, ov_tg, occ_tg, hists = out
+        (pos, vel, mass, ov_ex, ov_bk, ov_tg, occ_tg, ov_pl, ov_st,
+         hists) = out
         return DomainRunResult(
             state=ParticleState(
                 pos=pos, vel=vel, mass=mass,
@@ -1409,6 +1567,8 @@ def run_cosmological_domain(
             target_overflow=ov_tg,
             target_occupancy=occ_tg,
             rung_hists=hists,
+            plan_overflow=ov_pl,
+            plan_stale=ov_st,
         )
     pos, vel, mass, ov_ex, ov_bk = out
     return DomainRunResult(
@@ -1544,7 +1704,8 @@ def run_cosmological_domain_adaptive(
             )
             p = vel + gl * kl1
             p = p + gs * Fk[0][rung][:, None]
-            pos, p, mass, gl, gs, ov_e, ov_b, ov_t, occ_t = _rung_ticks(
+            (pos, p, mass, gl, gs, ov_e, ov_b, ov_t, occ_t, _,
+             _) = _rung_ticks(
                 pos, p, mass, gl, gs, rung, Fk, Dr, A_sub,
                 box=box, geom=geom, D=D, E=E, axis_name=axis_name,
                 n_rungs=n_rungs, short_acc=short_acc,

@@ -93,6 +93,38 @@ def _resolved_shortrange(config: SimulationConfig) -> str:
     return tier
 
 
+def _domain_tier(config: SimulationConfig, n_dev: int, *,
+                 rungs: bool = False, adaptive: bool = False) -> str:
+    """Short-range tier of the DOMAIN (devices>1) path.
+
+    Supercell when the mesh tiles a chaining grid that ALSO splits over
+    the devices (the fused MXU deposit + in-kernel PM readback — CONCEPT
+    runs its identical production solver under MPI, `NN.param:81-82` +
+    `Ucertain.py:89`), interlaced or not (round-4 VERDICT item 6: the
+    reference's shipped NN config interlaces forces, `NN.param:72-76`);
+    columns otherwise beyond 64k particles.  The rung paths and the
+    adaptive runner keep the cells packing (the masked interior kernel
+    shares its geometry, and their overflow channel carries plain
+    counts, not the columns tier's field-encoded word — see
+    run_cosmological_domain)."""
+    if rungs or adaptive or config.solver != "p3m":
+        return "cells"
+    resolved = _resolved_shortrange(config)
+    if resolved == "supercell":
+        from nbody.forces.p3m import p3m_short_params, supercell_ncell
+
+        sc = supercell_ncell(
+            config.box, config.mesh_size,
+            p3m_short_params(
+                config.box, config.mesh_size, config.n_particles
+            )[1],
+        )
+        return "supercell" if sc and sc % n_dev == 0 else "columns"
+    if resolved == "columns":
+        return "columns"
+    return "cells"
+
+
 def _tier_ncell(config: SimulationConfig, tier: str) -> int:
     """Chaining-grid side of the resolved tier (the unit of the driver's
     occupancy pre-warms and capacity heals)."""
@@ -526,20 +558,26 @@ def build_cosmo_force_frozen_both(config: SimulationConfig):
         )
 
     if int(config.rungs) >= 2:
-        # the interior-tick frozen masked path is only handed out when
-        # the (geometry-clamped) skin actually covers one global step's
-        # deepest-rung interior drift — otherwise staleness would fire
-        # every step, exhaust the column_skin heal and raise (e.g.
-        # rungs >= 4 at default eta: needed 0.75 * 2^(R-1) * eta cells
-        # exceeds the xy-slack/halo clamps).  Without it the integrator
-        # falls back to the per-tick CELLS masked kernel (round-3 mixed
-        # mode) while the BOUNDARY keeps the frozen/fresh fused eval.
+        # the interior-tick frozen masked path needs the
+        # (geometry-clamped) skin to cover one global step's
+        # deepest-rung interior drift.  `needed` is the WORST-CASE
+        # bound (every deepest-rung particle at its full displacement
+        # budget, 0.75 * 2^(R-1) * eta cells) — gating on needed <=
+        # skin/2 was measured to silently disable the path at bench
+        # geometry (xy slack clamps skin/2 to 2.27 < 3.08) and cost
+        # 2.26 -> 0.87 steps/s (round-5 regression hunt; VERDICT
+        # round-4 weak #5 called the missing guard).  Only particles
+        # AT the bound stale, the plan-stale channel is LOUD, and the
+        # driver heals column_skin / warns for rung-clamped outliers —
+        # so gate on the full skin covering the bound instead, and fall
+        # back to the per-tick CELLS masked kernel (round-3 mixed mode)
+        # only when even that fails (e.g. rungs >= 4 at default eta).
         cell = config.box / config.mesh_size
         needed = (
             0.75 * (2 ** (int(config.rungs) - 1))
             * float(config.step_eta_disp) * cell * 1.05
         )
-        if 0.5 * skin < needed:
+        if skin < needed:
             return (freeze_fn, both_frozen_fn, drift_ok_fn)
 
     return (freeze_fn, both_frozen_fn, drift_ok_fn, masked_frozen_fn,
@@ -847,6 +885,11 @@ class SimulationResult:
     # start at the learned capacities — run_simulation also does this
     # automatically in-process via _CAPACITY_MEMORY.
     config_run: SimulationConfig | None = None
+    # per-segment Layzer-Irvine samples [(a, T, W), ...] when
+    # output.energy_log is on — host float64, one PM-potential eval per
+    # segment; lets callers (scripts/energy_longrun.py, tests) bound the
+    # LI residual machine-readably instead of parsing run.log
+    energy_samples: list | None = None
 
 
 # In-process capacity carry-forward: runs with the same geometry cluster
@@ -1671,6 +1714,7 @@ def run_simulation(
         powerspecs=powerspecs,
         wall_s=time.perf_counter() - t0,
         config_run=cfg_run,
+        energy_samples=energy_samples or None,
     )
 
 
@@ -1838,34 +1882,8 @@ def _run_simulation_domain(
         )
         + f"(seed={seed}, start_idx={start_idx})"
     )
-    # short-range tier for the plain/subcycled FIXED-grid paths:
-    # supercell when the mesh tiles a chaining grid that ALSO splits
-    # over the devices (the fused MXU deposit + in-kernel PM readback —
-    # CONCEPT runs its identical production solver under MPI,
-    # `NN.param:81-82` + `Ucertain.py:89`), columns otherwise beyond
-    # 64k particles; the rung paths and the adaptive runner keep the
-    # cells packing (the masked interior kernel shares its geometry,
-    # and their overflow channel carries plain counts, not the columns
-    # tier's field-encoded word — see run_cosmological_domain)
-    tier = "cells"
-    if not rungs and not adaptive and config.solver == "p3m":
-        resolved = _resolved_shortrange(config)
-        if resolved == "supercell":
-            from nbody.forces.p3m import p3m_short_params, supercell_ncell
-
-            sc = supercell_ncell(
-                config.box, config.mesh_size,
-                p3m_short_params(
-                    config.box, config.mesh_size, config.n_particles
-                )[1],
-            )
-            tier = (
-                "supercell"
-                if sc and sc % n_dev == 0 and not config.interlace
-                else "columns"
-            )
-        elif resolved == "columns":
-            tier = "columns"
+    tier = _domain_tier(config, n_dev, rungs=bool(rungs),
+                        adaptive=adaptive)
     # start at any capacities a previous same-geometry run learned through
     # self-heals (see _CAPACITY_MEMORY) — mid-run heals cost a retrace +
     # compile + segment re-run each
@@ -1887,6 +1905,47 @@ def _run_simulation_domain(
         )
         cw = config.column_window or _mem.get("column_window", 0)
 
+    # frozen per-step column plans for the domain RUNG tier (round-4
+    # VERDICT item 5): interior masked ticks ride a LOCAL column plan on
+    # the DOMAIN chaining grid (geom.ncell — slab-divisible by
+    # construction), frozen once per global step at the boundary; the
+    # single-device ablation priced the alternative (masked cells tick
+    # 304 ms vs frozen masked column tick 51 ms, clustered N=2^20).
+    # Requires xy slack for the skin: box/ncell >= r_cut + 2 skin.
+    frozen_skin = 0.0
+    if rungs and not adaptive and config.solver == "p3m":
+        from nbody.forces.p3m_columns import column_window
+
+        side = config.box / geom.ncell
+        skin = config.column_skin
+        if skin < 0.0:  # auto — the rung sizing of _frozen_geometry
+            skin_r = (
+                1.65 * float(config.step_eta_disp)
+                * (2 ** (int(rungs) - 1))
+                * (config.box / config.mesh_size)
+            )
+            skin = min(
+                max(0.05 * geom.r_cut, skin_r),
+                0.49 * (side - geom.r_cut),
+            )
+        if skin > 0.0 and side >= geom.r_cut + 2.0 * skin:
+            frozen_skin = float(skin)
+            mean_col = config.n_particles / geom.ncell**2
+            ck = ck or config.column_capacity or max(
+                -(-int(mean_col + 6.0 * mean_col**0.5 + 8) // 128) * 128,
+                _mem.get("column_capacity", 0),
+            )
+            base_w = config.column_window or _mem.get(
+                "column_window", 0
+            ) or column_window(config.box, geom.r_cut, ck)
+            # skin-widened window span (cf. _frozen_geometry)
+            rc_slots = (geom.r_cut / config.box) * ck
+            span = (
+                256.0 + 2.2 * rc_slots + 127.0
+                + 2.0 * frozen_skin * ck / config.box
+            )
+            cw = max(base_w, -(-int(span) // 128) * 128)
+
     log(
         f"Domain decomposition: {n_dev}x1x1 "
         f"({geom.ncell} chaining cells, {C} slots/device, "
@@ -1894,6 +1953,12 @@ def _run_simulation_domain(
         + (
             f", column capacity {ck}"
             if tier in ("columns", "supercell")
+            else ""
+        )
+        + (
+            f", frozen rung plans (skin {frozen_skin:.3g}, "
+            f"column capacity {ck})"
+            if frozen_skin > 0.0
             else ""
         )
         + ")"
@@ -1917,7 +1982,7 @@ def _run_simulation_domain(
         return cfg_final
 
     def run_segment(dst, lo, hi):
-        nonlocal geom, E, rcap, ck, cw
+        nonlocal geom, E, rcap, ck, cw, frozen_skin
         attempts = 5
         while attempts > 0:
             res = run_cosmological_domain(
@@ -1937,9 +2002,62 @@ def _run_simulation_domain(
                 shortrange=tier,
                 col_capacity=ck or None,
                 col_window=cw or None,
+                rung_frozen=frozen_skin > 0.0,
+                column_skin=frozen_skin,
             )
             ov_b, ov_e = int(res.bucket_overflow), int(res.exchange_overflow)
             ov_t = int(res.target_overflow) if rungs else 0
+            if frozen_skin > 0.0:
+                # frozen-plan channels: the field-encoded freeze word
+                # heals the column knobs; staleness (drift beyond
+                # skin/2) heals the skin while geometry allows
+                ov_p = int(res.plan_overflow)
+                ov_s = int(res.plan_stale)
+                if ov_p:
+                    if (ov_p >> 16) == 0:
+                        cw = -(-int(1.5 * cw) // 128) * 128
+                        log(
+                            f"frozen-plan z-window misses "
+                            f"({ov_p & 0xffff} slots) — widening z-window "
+                            f"to {cw}, re-running segment"
+                        )
+                    else:
+                        ck *= 2
+                        log(
+                            f"frozen-plan bucket overflow "
+                            f"({ov_p >> 16} particles) — doubling column "
+                            f"capacity to {ck}, re-running segment"
+                        )
+                    attempts -= 1
+                    continue
+                if ov_s:
+                    side = config.box / geom.ncell
+                    smax = 0.49 * (side - geom.r_cut)
+                    if frozen_skin < smax:
+                        frozen_skin = min(1.5 * frozen_skin, smax)
+                        rc_slots = (geom.r_cut / config.box) * ck
+                        cw = max(cw, -(-int(
+                            256.0 + 2.2 * rc_slots + 127.0
+                            + 2.0 * frozen_skin * ck / config.box
+                        ) // 128) * 128)
+                        log(
+                            f"frozen-plan staleness ({ov_s} particles "
+                            f"beyond skin/2) — growing column_skin to "
+                            f"{frozen_skin:.3g}, re-running segment"
+                        )
+                        attempts -= 1
+                        continue
+                    # at the geometric ceiling: a handful of rung-clamped
+                    # outliers — warn loudly, keep the segment (their
+                    # short-range force may miss pairs near the window
+                    # edge for the stale ticks; the boundary tick is
+                    # always fresh)
+                    log(
+                        f"WARNING: frozen-plan staleness ({ov_s} "
+                        f"particles) with column_skin at the geometric "
+                        f"ceiling {frozen_skin:.3g} — rung-clamped "
+                        f"outliers, keeping segment"
+                    )
             if ov_b == 0 and ov_e == 0 and ov_t == 0:
                 if rungs:
                     for k, h in enumerate(np.asarray(res.rung_hists)):
@@ -2178,6 +2296,7 @@ def _run_simulation_domain(
             powerspecs=powerspecs,
             wall_s=time.perf_counter() - t0,
             config_run=_record_domain_capacities(),
+            energy_samples=energy_samples or None,
         )
 
     with AsyncSnapshotWriter() as writer:
@@ -2237,4 +2356,5 @@ def _run_simulation_domain(
         powerspecs=powerspecs,
         wall_s=time.perf_counter() - t0,
         config_run=_record_domain_capacities(),
+        energy_samples=energy_samples or None,
     )

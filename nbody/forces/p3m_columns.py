@@ -1298,3 +1298,376 @@ def p3m_short_columns_local(pos_l, mass_l, *, box: float, eps: float,
     acc = acc_buckets[gidx]
     ov = jnp.minimum(ov_b, 32767) * 65536 + jnp.minimum(ov_w, 65535)
     return G * acc.astype(pos_l.dtype), ov
+
+
+# ---------------------------------------------------------------------------
+# Slab-local FROZEN column plans (domain rung tier)
+# ---------------------------------------------------------------------------
+
+
+class LocalColumnPlan(NamedTuple):
+    """Slab-resident sibling of :class:`ColumnPlan` (round-4 VERDICT
+    item 5): everything position-independent about a LOCAL column plane
+    from :func:`freeze_local_column_plan`, valid while every local
+    particle stays within ``skin/2`` (min-image) of ``pos0`` AND the
+    local particle set itself is frozen (no ``slab_exchange`` between
+    freeze and use — the domain rung tier freezes at the step boundary,
+    right after the exchange, and migrates again only at the next
+    boundary).  Correctness under drift follows :class:`ColumnPlan`
+    exactly; the x-halo rows are re-assembled from CURRENT neighbour
+    positions each tick by the same fixed ``ppermute`` routing the
+    fresh build uses (position data moves, slot routing doesn't).
+
+    Reference role: CONCEPT's production shape is P3M + rungs + MPI in
+    ONE run (`TheFeedingPipeline/NN.param:81-83`, `SnapVsPK/
+    Ucertain.py:89` — its run logs show both "Domain decomposition" and
+    "Rung population" lines); this carries the frozen-plan trick into
+    that regime."""
+
+    pos0: jax.Array      # (C, 3) local wrapped positions at freeze
+    src_g: jax.Array     # (ncol_l, stride) i32: slot -> LOCAL row
+    starts: jax.Array    # (ncol_l,) i32 (into the frozen sort order)
+    counts: jax.Array    # (ncol_l,) i32 raw per-column counts
+    ws: jax.Array        # (ncol_l * 9 * maxch,) i32 frozen window starts
+    nch: jax.Array       # (ncol_l,) i32
+    gidx: jax.Array      # (C,) i32 local row -> padded slot
+    ov: jax.Array        # () i32 field-encoded freeze-time overflow
+
+
+def _local_slot_masks(starts, counts, CK, gz, stride):
+    """(src, src_ok, is_front, is_interior, is_back) for a local plane —
+    the inline slot arithmetic of :func:`build_local_column_plane`,
+    recomputable from a frozen plan's starts/counts."""
+    cnt = jnp.minimum(counts, CK)[:, None]
+    r = (jnp.arange(stride, dtype=jnp.int32) - gz)[None, :]
+    is_front = r < 0
+    is_interior = (r >= 0) & (r < cnt)
+    g_b = r - cnt
+    is_back = (r >= cnt) & (g_b < gz)
+    src = jnp.where(
+        is_front,
+        starts[:, None] + cnt + r,
+        jnp.where(is_back, starts[:, None] + g_b, starts[:, None] + r),
+    )
+    src_ok = (src >= starts[:, None]) & (src < starts[:, None] + cnt)
+    return src, src_ok, is_front, is_interior, is_back
+
+
+def _local_plane_from_buf(buf, *, box, r_cut, ncell, n_dev, stride,
+                          axis_name):
+    """y ghost ring (local wrap) + x-halo ``ppermute`` assembly shared
+    by the fresh and frozen local planes: (ncol_l, stride, 4) ->
+    (8, (nxl+2) * P * stride) SoA plane.  Fixed routing — only the ROW
+    DATA depends on positions, so the frozen path reuses it per tick."""
+    dtype = buf.dtype
+    d = jax.lax.axis_index(axis_name)
+    nxl = ncell // n_dev
+    P = ncell + 2
+    z_pad = box + 3.0 * r_cut
+    defaults = jnp.asarray([-8.0 * r_cut, -8.0 * r_cut, z_pad, 0.0], dtype)
+
+    grid4 = buf.reshape(nxl, ncell, stride, 4)
+    padded = jnp.pad(grid4, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="wrap")
+
+    def shifted_y(sl, delta):
+        lo_ = padded[:, sl]
+        return lo_.at[..., 1].add(jnp.where(lo_[..., 3] > 0, delta, 0.0))
+
+    padded = padded.at[:, 0].set(shifted_y(0, -box))
+    padded = padded.at[:, P - 1].set(shifted_y(P - 1, box))
+
+    zero_row = jnp.broadcast_to(defaults, (1, P, stride, 4))
+    p5 = jnp.concatenate([zero_row, padded, zero_row], axis=0)
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    from_left = jax.lax.ppermute(p5[nxl], axis_name, fwd)
+    from_right = jax.lax.ppermute(p5[1], axis_name, bwd)
+    shift_l = jnp.where(d == 0, -box, 0.0).astype(dtype)
+    shift_r = jnp.where(d == n_dev - 1, box, 0.0).astype(dtype)
+    from_left = from_left.at[..., 0].add(
+        jnp.where(from_left[..., 3] > 0, shift_l, 0.0)
+    )
+    from_right = from_right.at[..., 0].add(
+        jnp.where(from_right[..., 3] > 0, shift_r, 0.0)
+    )
+    p5 = p5.at[0].set(from_left).at[nxl + 1].set(from_right)
+
+    plane4 = p5.reshape((nxl + 2) * P * stride, 4)
+    plane = jnp.concatenate(
+        [
+            jnp.moveaxis(plane4, -1, 0),
+            jnp.zeros((4, (nxl + 2) * P * stride), dtype),
+        ],
+        axis=0,
+    )
+    return plane, plane4
+
+
+def freeze_local_column_plan(pos_l, mass_l, *, box: float, r_cut: float,
+                             ncell: int, n_dev: int, col_capacity: int,
+                             window: int, axis_name: str,
+                             chunk: int = 256, skin: float = 0.0):
+    """Slab sibling of :func:`freeze_column_plan`: sort + bucket +
+    skin-widened window tables at the CURRENT local positions, packaged
+    for reuse (:class:`LocalColumnPlan`).  Must run inside the same
+    ``shard_map`` as its consumers (x halos ride ``ppermute``)."""
+    if box / ncell < r_cut - 1e-9:
+        raise ValueError(f"column size {box / ncell:.3f} < r_cut {r_cut:.3f}")
+    if skin > 0.0 and (box / ncell) < r_cut + 2.0 * skin:
+        raise ValueError(
+            f"column side {box / ncell:.3f} < r_cut + 2 skin "
+            f"{r_cut + 2.0 * skin:.3f} — frozen xy bucketing would miss "
+            f"drifted pairs"
+        )
+    d = jax.lax.axis_index(axis_name)
+    C = pos_l.shape[0]
+    dtype = jnp.float32
+    CK = -(-col_capacity // 128) * 128
+    gz = ghost_slots(CK, (float(r_cut) / box) * CK)
+    if CK % chunk:
+        chunk = 128
+    stride = CK + 2 * gz
+    W = min(-(-window // 128) * 128, stride)
+    maxch = CK // chunk
+    nxl = ncell // n_dev
+    ncol_l = nxl * ncell
+    P = ncell + 2
+    # widened margins: tables/demand must cover anything that can drift
+    # INTO a band/window while the plan is frozen (cf. ColumnPlan)
+    zmargin_t = 1.0001 * r_cut + 0.5 * skin
+
+    posw = jnp.mod(pos_l, box).astype(dtype)
+    massf = mass_l.astype(dtype)
+    valid = massf > 0
+    cx = jnp.clip((posw[:, 0] * (ncell / box)).astype(jnp.int32),
+                  0, ncell - 1)
+    cy = jnp.clip((posw[:, 1] * (ncell / box)).astype(jnp.int32),
+                  0, ncell - 1)
+    cxl = cx - d * nxl
+    resident = valid & (cxl >= 0) & (cxl < nxl)
+    col = jnp.where(resident, cxl * ncell + cy, ncol_l)
+    order = _col_z_order(col, posw[:, 2], ncol_l + 1, box)
+    pos_s = posw[order]
+    col_s = col[order]
+
+    cols = jnp.arange(ncol_l, dtype=jnp.int32)
+    starts = jnp.searchsorted(col_s, cols, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(col_s, cols, side="right").astype(jnp.int32)
+    counts = ends - starts
+    rank = jnp.arange(C, dtype=jnp.int32) - starts[
+        jnp.clip(col_s, 0, ncol_l - 1)
+    ]
+    ok = (rank < CK) & (col_s < ncol_l)
+    ov_b = (jnp.sum(resident) - jnp.sum(ok)).astype(jnp.int32)
+
+    src, src_ok, is_front, is_interior, is_back = _local_slot_masks(
+        starts, counts, CK, gz, stride
+    )
+    src_c = jnp.clip(src, 0, max(C - 1, 0))
+    src_g = order[src_c].astype(jnp.int32)
+    rows = jnp.concatenate([pos_s, massf[order][:, None]], axis=1)[src_c]
+    z_raw = rows[..., 2]
+    # TABLE buffer with the widened wrap margin (window demand must see
+    # slots that can BECOME valid ghosts within skin/2 drift)
+    valid_slot_t = (
+        is_interior
+        | (is_front & src_ok & (z_raw >= box - zmargin_t))
+        | (is_back & src_ok & (z_raw <= zmargin_t))
+    )
+    shift = jnp.where(is_front, -box, jnp.where(is_back, box, 0.0))
+    z_pad = box + 3.0 * r_cut
+    default_z = jnp.where(is_front, -2.0 * box, z_pad)
+    xy = jnp.where(valid_slot_t[..., None], rows[..., 0:2], -8.0 * r_cut)
+    zf_ = jnp.where(valid_slot_t, z_raw + shift, default_z)
+    mf_ = jnp.where(valid_slot_t, rows[..., 3], 0.0)
+    buf_t = jnp.concatenate(
+        [xy, zf_[..., None], mf_[..., None]], axis=-1
+    )
+
+    # ghost demand with the widened margin
+    nb = jnp.sum(is_interior & (z_raw <= zmargin_t), axis=1)
+    nf = jnp.sum(is_interior & (z_raw >= box - zmargin_t), axis=1)
+    ov_b = ov_b + (
+        jnp.sum(jnp.maximum(nb - gz, 0)) + jnp.sum(jnp.maximum(nf - gz, 0))
+    ).astype(jnp.int32)
+
+    _, plane4_t = _local_plane_from_buf(
+        buf_t, box=box, r_cut=r_cut, ncell=ncell, n_dev=n_dev,
+        stride=stride, axis_name=axis_name,
+    )
+
+    # frozen window tables on the skin-widened thresholds (x-neighbour
+    # fences live in the halo rows of the assembled TABLE plane)
+    zcols_pad = plane4_t[:, 2].reshape((nxl + 2) * P, stride)
+    fence = zcols_pad[:, ::128]
+    ch = jnp.arange(maxch, dtype=jnp.int32)
+    nch = -(-jnp.minimum(counts, CK) // chunk)
+    idx0 = starts[:, None] + ch[None, :] * chunk
+    last = starts[:, None] + jnp.minimum(counts, CK)[:, None] - 1
+    nmax = max(C - 1, 0)
+    zmin = pos_s[jnp.clip(idx0, 0, nmax), 2]
+    zmax = pos_s[jnp.clip(jnp.minimum(idx0 + chunk - 1, last), 0, nmax), 2]
+    chunk_ok = ch[None, :] < nch[:, None]
+
+    ic_x = cols // ncell
+    ic_y = cols % ncell
+    ws_list = []
+    ov_w = jnp.int32(0)
+    for o2 in range(9):
+        dxo, dyo = o2 // 3 - 1, o2 % 3 - 1
+        nc = (ic_x + 1 + dxo) * P + (ic_y + 1 + dyo)
+        fj = fence[nc]
+        qlo = (zmin - r_cut - skin)[:, :, None]
+        qhi = (zmax + r_cut + skin)[:, :, None]
+        cnt_lo = jnp.sum(fj[:, None, :] <= qlo, axis=-1)
+        start = jnp.clip(
+            (jnp.maximum(cnt_lo - 1, 0)) * 128, 0, stride - W
+        ).astype(jnp.int32)
+        hi_exact = jnp.sum(zcols_pad[nc][:, None, :] < qhi, axis=-1)
+        ov_w = ov_w + jnp.sum(
+            jnp.where(chunk_ok, jnp.maximum(hi_exact - (start + W), 0), 0)
+        ).astype(jnp.int32)
+        ws_list.append(start)
+    ws = jnp.stack(ws_list, axis=1).reshape(ncol_l * 9 * maxch)
+
+    pc = (jnp.clip(cxl, 0, nxl - 1) + 1) * P + (cy + 1)
+    sentinel = (nxl + 2) * P * stride
+    gidx_s = jnp.where(ok, pc[order] * stride + gz + rank, sentinel)
+    gidx = (
+        jnp.full((C,), sentinel, jnp.int32)
+        .at[order]
+        .set(gidx_s.astype(jnp.int32))
+    )
+    ov = jnp.minimum(ov_b, 32767) * 65536 + jnp.minimum(ov_w, 65535)
+    return LocalColumnPlan(
+        pos0=posw, src_g=src_g, starts=starts, counts=counts, ws=ws,
+        nch=nch.astype(jnp.int32), gidx=gidx, ov=ov,
+    )
+
+
+def local_plan_stale(pos_l, plan: LocalColumnPlan, box: float,
+                     skin: float):
+    """LOCAL count of particles beyond ``skin/2`` (min-image) of their
+    freeze positions — the plan-staleness channel; callers ``pmax`` it
+    across devices/steps (CLAUDE.md: never sum overflow words)."""
+    d = jnp.mod(pos_l, box).astype(plan.pos0.dtype) - plan.pos0
+    d = d - box * jnp.round(d * (1.0 / box))
+    return jnp.sum(
+        jnp.sum(d * d, axis=1) > (0.5 * skin) ** 2
+    ).astype(jnp.int32)
+
+
+def p3m_local_columns_frozen_masked(
+    pos_l, mass_l, act_l, plan: LocalColumnPlan, *, box: float,
+    eps: float, r_s: float, r_cut: float, G: float = 1.0, ncell: int,
+    n_dev: int, col_capacity: int, window: int, axis_name: str,
+    split: str = "gaussian", softening: str = "plummer",
+    chunk: int = 256, interpret: bool | None = None,
+):
+    """Slab sibling of :func:`p3m_short_columns_frozen_masked`: the
+    domain rung tier's interior masked tick on a frozen local plan —
+    one row gather + the fixed halo ppermutes re-assemble the plane at
+    CURRENT positions (no argsort, no window reductions, no
+    slab_exchange), the active-chunk table restricts kernel work to
+    256-slot chunks holding an active target (single-device measured
+    51 ms vs the 304 ms masked cells tick, clustered N=2^20, RESULTS
+    round 4).  Returns (acc (C, 3), plan.ov) — NOT psum'd."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dtype = jnp.float32
+    CK = -(-col_capacity // 128) * 128
+    gz = ghost_slots(CK, (float(r_cut) / box) * CK)
+    if CK % chunk:
+        chunk = 128
+    stride = CK + 2 * gz
+    W = min(-(-window // 128) * 128, stride)
+    maxch = CK // chunk
+    nxl = ncell // n_dev
+    ncol_l = nxl * ncell
+    P = ncell + 2
+    zmargin = 1.0001 * r_cut
+
+    # unwrap current positions against the freeze positions (min-image:
+    # wrap-crossers keep their frozen slots; cf. p3m_short_columns_frozen)
+    posw = jnp.mod(pos_l, box).astype(dtype)
+    dpos = posw - plan.pos0
+    dpos = dpos - box * jnp.round(dpos * (1.0 / box))
+    rows = jnp.concatenate(
+        [plan.pos0 + dpos, mass_l.astype(dtype)[:, None]], axis=1
+    )[plan.src_g]
+    _, src_ok, is_front, is_interior, is_back = _local_slot_masks(
+        plan.starts, plan.counts, CK, gz, stride
+    )
+    z_raw = rows[..., 2]
+    valid_slot = (
+        is_interior
+        | (is_front & src_ok & (z_raw >= box - zmargin))
+        | (is_back & src_ok & (z_raw <= zmargin))
+    )
+    shift = jnp.where(is_front, -box, jnp.where(is_back, box, 0.0))
+    z_pad = box + 3.0 * r_cut
+    default_z = jnp.where(is_front, -2.0 * box, z_pad)
+    xy = jnp.where(valid_slot[..., None], rows[..., 0:2], -8.0 * r_cut)
+    zf_ = jnp.where(valid_slot, z_raw + shift, default_z)
+    mf_ = jnp.where(valid_slot, rows[..., 3], 0.0)
+    buf = jnp.concatenate([xy, zf_[..., None], mf_[..., None]], axis=-1)
+    plane, _ = _local_plane_from_buf(
+        buf, box=box, r_cut=r_cut, ncell=ncell, n_dev=n_dev,
+        stride=stride, axis_name=axis_name,
+    )
+
+    # per-(column, chunk) activity from the gathered target mask
+    act_slot = act_l[plan.src_g] & is_interior
+    act_chunk = jnp.any(
+        act_slot[:, gz : gz + CK].reshape(ncol_l, maxch, chunk), axis=-1
+    )
+    nch_act = jnp.sum(act_chunk, axis=1).astype(jnp.int32)
+    iota = jnp.arange(maxch, dtype=jnp.int32)[None, :]
+    cht = jnp.sort(
+        jnp.where(act_chunk, iota, maxch), axis=1
+    ).reshape(ncol_l * maxch).astype(jnp.int32)
+
+    def i_map(ic, o2, *_):
+        return (0, (ic // ncell + 1) * P + (ic % ncell + 1))
+
+    def j_map(ic, o2, *_):
+        return (
+            0,
+            (ic // ncell + 1 + o2 // 3 - 1) * P
+            + (ic % ncell + 1 + o2 % 3 - 1),
+        )
+
+    ws_tab = _smem_table(plan.ws, ncol_l * 9, maxch)
+    cht_tab = _smem_table(cht, ncol_l, maxch)
+    cols = ws_tab.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ncol_l, 9),
+        in_specs=[
+            pl.BlockSpec((8, cols), lambda ic, o2, *_: (ic * 9 + o2, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, cols), lambda ic, o2, *_: (ic, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, stride), j_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, stride), i_map, memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _column_kernel_masked,
+            ncell=ncell, stride=stride, W=W, maxch=maxch, gz=gz,
+            chunk=chunk,
+            eps2=float(eps) ** 2, r_s=float(r_s), r_cut=float(r_cut),
+            split=split, softening=softening,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
+        interpret=interpret,
+    )(nch_act, ws_tab, cht_tab, plane, plane)
+
+    acc_buckets = jnp.concatenate(
+        [out[:3].reshape(3, -1).T, jnp.zeros((1, 3), dtype)], axis=0
+    )
+    acc = acc_buckets[plan.gidx]
+    return G * acc.astype(pos_l.dtype), plan.ov

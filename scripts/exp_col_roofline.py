@@ -388,6 +388,19 @@ def main():
             CKc = -(-(CKc + max(2 * ovb, CKc // 8, 128)) // 128) * 128
         if ovw:
             Wc += max(-(-ovw // 128) * 128, 256)
+    if stridec > 16384:
+        # the healed clustered stride would blow the kernel's scoped
+        # VMEM (measured: 91 MB at stride 32512 on the blob state) —
+        # the count decomposition lives in
+        # scripts/clustered_decomposition.py (CPU KDTree + analytic
+        # visits), which needs no kernel at all
+        res["clustered"] = {"skipped": f"stride {stridec} > VMEM budget"}
+        line = json.dumps(res)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
+        return 0
     planec, wsc, nchc = built[0], built[1], built[2]
     maxchc = CKc // chunk
     ws_tabc = _smem_table(wsc, ncell * ncell * 9, maxchc)

@@ -640,6 +640,96 @@ class TestDomainRungs:
             rtol=2e-3, atol=2e-3,
         )
 
+    def test_frozen_rung_run_matches_replicated(self, mesh8):
+        """Domain rung integration with FROZEN per-step column plans
+        (round-4 VERDICT item 5: interior masked ticks ride
+        `p3m_local_columns_frozen_masked` — no mid-step exchange, no
+        plane rebuild) lands on the single-device rung trajectory.
+        Reference: CONCEPT's production P3M+rungs under MPI
+        (`TheFeedingPipeline/NN.param:81-83`, `SnapVsPK/Ucertain.py:89`)."""
+        from nbody.forces.p3m import (
+            p3m_acc,
+            p3m_short_cells_pallas_masked,
+            p3m_short_params,
+        )
+        from nbody.forces.p3m_columns import column_window
+        from nbody.integrate.cosmo_stepping import (
+            log_a_steps,
+            run_cosmological_rungs,
+        )
+
+        n, box, nmesh, R = 2048, 80.0, 64, 3
+        eps, eta_disp, eta_acc = 0.1, 0.02, 0.025
+        cosmo, state = _cosmo_system(n, box, seed=31, dtype=jnp.float32)
+        a_grid = log_a_steps(0.5, 0.55, 4)
+
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        r_cut = p3m_short_params(box, nmesh, n)[1]
+        geom = domain_p3m_geometry(box, nmesh, 8, n)
+        ck = 128
+        skin = 0.9 * (box / geom.ncell - r_cut) / 2.0
+        assert skin > 0
+        res = run_cosmological_domain(
+            st, cosmo, a_grid, mesh8,
+            box=box, nmesh=nmesh, eps=eps, n_global=n, split="spline",
+            rungs=R, eta_disp=eta_disp, eta_acc=eta_acc,
+            rung_frozen=True, col_capacity=ck,
+            col_window=column_window(box, r_cut, ck), column_skin=skin,
+        )
+        assert int(res.exchange_overflow) == 0
+        assert int(res.bucket_overflow) == 0
+        assert int(res.plan_overflow) == 0
+        assert int(res.plan_stale) == 0
+        hists = np.asarray(res.rung_hists)
+        np.testing.assert_array_equal(hists.sum(axis=1), n)
+        assert hists[:, 1:].sum() > 0  # masked frozen ticks engaged
+
+        def long_fn(pos, mass, a):
+            return p3m_acc(
+                pos, mass, box, nmesh, G=u.COSMO.G, eps=eps,
+                shortrange="cells", split="spline", part="long",
+            ) / a
+
+        def short_fn(pos, mass, a):
+            g, ov = p3m_acc(
+                pos, mass, box, nmesh, G=u.COSMO.G, eps=eps,
+                shortrange="cells", split="spline", part="short",
+                with_overflow=True,
+            )
+            return g / a, ov
+
+        def short_masked_fn(pos, mass, act, a):
+            r_s, r_cut_, ncell, cap = p3m_short_params(
+                box, nmesh, pos.shape[0]
+            )
+            g, ov_s, ov_t, occ_t = p3m_short_cells_pallas_masked(
+                pos, mass, act, box, eps, r_s, r_cut_, G=u.COSMO.G,
+                ncell=ncell, capacity=cap, target_capacity=cap,
+                split="spline",
+            )
+            return g / a, ov_s, ov_t, occ_t
+
+        ref, ovb, ovm, ovt, occt, ovst, ref_hists = run_cosmological_rungs(
+            state, cosmo, a_grid, long_fn, short_fn, short_masked_fn,
+            box, n_rungs=R, cell=box / nmesh,
+            eta_disp=eta_disp, eta_acc=eta_acc, eps=eps,
+        )
+        assert int(ovb) == 0 and int(ovt) == 0
+        np.testing.assert_allclose(hists, np.asarray(ref_hists), atol=4)
+
+        final = domain_gather(res.state)
+        assert final.n == n
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(ref.pos))
+        dist, idx = tree.query(np.asarray(final.pos))
+        assert len(set(idx.tolist())) == n
+        assert dist.max() < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(final.vel), np.asarray(ref.vel)[idx],
+            rtol=2e-3, atol=2e-3,
+        )
+
     def test_all_rung0_matches_plain_kdk(self, mesh8):
         """With slack demand every particle sits on rung 0 and the rung
         tier must reduce to the plain domain KDK (boundary ticks only —
@@ -918,6 +1008,51 @@ class TestDomainSupercell:
             pos32, mass32, box, nmesh, G=u.COSMO.G, eps=0.1,
             shortrange="supercell", split="spline", softening="spline",
             capacity=ck, window=w,
+        ) / 0.5
+        g = np.asarray(g)
+        valid = np.asarray(st.mass) > 0
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(np.asarray(pos32))
+        dist, idx = tree.query(np.asarray(st.pos)[valid])
+        assert dist.max() == 0.0
+        rr = np.asarray(ref)[idx]
+        gg = g[valid]
+        rel = np.linalg.norm(gg - rr, axis=-1) / np.maximum(
+            np.linalg.norm(rr, axis=-1), 1e-12
+        )
+        assert np.median(rel) < 1e-5 and rel.max() < 2e-4
+
+    def test_interlaced_supercell_force_matches_single_device(self, mesh8):
+        """Interlaced domain supercell (second half-shifted MXU deposit +
+        second in-kernel contraction, round-4 VERDICT item 6) matches the
+        single-device fused interlaced evaluation — the reference's
+        shipped NN config interlaces forces AND runs under MPI
+        (`TheFeedingPipeline/NN.param:72-76`, `SnapVsPK/Ucertain.py:89`)."""
+        from nbody.forces.p3m import p3m_acc
+
+        n, box, nmesh = 4096, 80.0, 48
+        cosmo, state = _cosmo_system(n, box, seed=56, dtype=jnp.float32)
+        st = domain_decompose(state, mesh8, box, ncell=8)
+        sc, ck, w = self._sc_knobs(n, box, nmesh)
+        assert sc == 8 and sc % 8 == 0
+
+        acc_fn, _ = make_domain_p3m_force(
+            cosmo, box, nmesh, mesh8, eps=0.1, n_global=n, split="spline",
+            softening="spline", shortrange="supercell", col_capacity=ck,
+            col_window=w, interlace=True,
+        )
+        g, ov = jax.jit(acc_fn)(
+            st.pos, st.mass, jnp.asarray(0.5, jnp.float32)
+        )
+        assert int(ov) == 0
+
+        pos32 = state.pos.astype(jnp.float32)
+        mass32 = state.mass.astype(jnp.float32)
+        ref = p3m_acc(
+            pos32, mass32, box, nmesh, G=u.COSMO.G, eps=0.1,
+            shortrange="supercell", split="spline", softening="spline",
+            capacity=ck, window=w, interlace=True,
         ) / 0.5
         g = np.asarray(g)
         valid = np.asarray(st.mass) > 0
